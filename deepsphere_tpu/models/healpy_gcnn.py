@@ -1,0 +1,392 @@
+"""HealpyGCNN: the model assembler.
+
+TPU-native re-design of the reference assembler
+(``/root/reference/src/deepsphere/healpy_networks.py:14-167``): scans the
+layer list for resolution changes, validates the pixel-index set against the
+NEST hierarchy, builds one :class:`~deepsphere_tpu.graph.SphereGraph` per
+resolution level (memoized — the reference rebuilds the graph for every
+layer), instantiates the deferred graph layers and wires everything into a
+single Flax module.
+
+The wrapper keeps a Keras-like stateful surface (``build`` / ``__call__`` /
+``summary`` / ``save_weights`` / ``load_weights`` — parity with the usage in
+``/root/reference/tests/test_healpy_networks.py``) on top of the functional
+core (``init`` / ``apply``), so both idioms work:
+
+    model = HealpyGCNN(nside, indices, layers)
+    variables = model.init(jax.random.key(0), x)        # functional
+    y = model.apply(variables, x)
+
+    model.build(input_shape=(B, n_pix, F))               # stateful
+    y = model(x)
+"""
+
+from __future__ import annotations
+
+import inspect
+from typing import Any, Optional, Sequence, Tuple
+
+import flax
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .._logger import logger
+from ..graph import build_sphere_graph
+from ..nn.healpy_layers import (
+    Healpy_ViT,
+    HealpyPool,
+    HealpyPseudoConv,
+    HealpyPseudoConv_Transpose,
+    _DeferredLayer,
+)
+from ..nn.transformers import GraphViT
+from ..sphere import healpix as hp
+from ..sphere.indexing import check_indices_consistent, transform_indices
+from ..utils import count_params, format_summary
+
+__all__ = ["HealpyGCNN", "SequentialModel"]
+
+
+def _accepts_training(layer):
+    try:
+        sig = inspect.signature(type(layer).__call__)
+        return "training" in sig.parameters
+    except (TypeError, ValueError):
+        return False
+
+
+class SequentialModel(nn.Module):
+    """Sequential container passing ``training`` to layers that accept it."""
+
+    layers: Tuple[Any, ...]
+
+    @nn.compact
+    def __call__(self, x, training=False):
+        for layer in self.layers:
+            if _accepts_training(layer):
+                x = layer(x, training=training)
+            else:
+                x = layer(x)
+        return x
+
+
+def _layer_display_name(layer, counters):
+    """Keras-style snake-case auto names; the two names the reference test
+    suite looks up (``chebyshev``, ``gcnn__residual_layer``) are preserved."""
+    cls = type(layer).__name__
+    base = {
+        "ChebyshevConv": "chebyshev",
+        "MonomialConv": "monomial",
+        "BernsteinConv": "bernstein",
+        "ResidualLayer": "gcnn__residual_layer",
+        "HealpyPool": "healpy_pool",
+        "HealpyPseudoConv": "healpy_pseudo_conv",
+        "HealpyPseudoConv_Transpose": "healpy_pseudo_conv__transpose",
+        "GraphViT": "graph_vit",
+        "Healpy_ViT": "graph_vit",
+        "GraphTransformer": "graph_transformer",
+        "HealpySmoothing": "healpy_smoothing",
+        "Flatten": "flatten",
+        "Dense": "dense",
+    }.get(cls, cls.lower())
+    n = counters.get(base, 0)
+    counters[base] = n + 1
+    return base if n == 0 else f"{base}_{n}"
+
+
+class HealpyGCNN:
+    """A graph convolutional network on HEALPix maps.
+
+    :param nside: nside of the input maps
+    :param indices: 1d array of NEST pixel ids covered by the input
+    :param layers: list of layer specs — deferred graph layers
+        (``HealpyChebyshev`` & co.), concrete resolution layers
+        (``HealpyPool`` & co.), or arbitrary Flax modules
+    :param n_neighbors: kNN graph degree; 8 (default), 20, 40 or 60
+    :param max_batch_size, initial_Fin: accepted for API parity with the
+        reference; XLA has no 2^31 SpMM limit so no matmul splitting is
+        needed (``healpy_networks.py:125-137``)
+    :param graph_cache_dir: optional on-disk cache for built graphs
+    :param kernel_width: optional Gaussian kernel width override for the
+        graph edge weights
+    """
+
+    def __init__(
+        self,
+        nside,
+        indices,
+        layers,
+        n_neighbors=8,
+        max_batch_size=None,
+        initial_Fin=None,
+        graph_cache_dir=None,
+        kernel_width=None,
+    ):
+        logger.info(
+            "WARNING: This network assumes that everything concerning healpy "
+            "is in NEST ordering..."
+        )
+        if n_neighbors not in [8, 20, 40, 60]:
+            raise NotImplementedError(
+                f"The requested number of neighbors {n_neighbors} is nor supported. "
+                f"Choose either 8, 20, 40 or 60."
+            )
+
+        self.nside_in = nside
+        self.indices_in = np.asarray(indices, dtype=np.int64)
+        self.layers_in = list(layers)
+        self.n_neighbors = n_neighbors
+        self.max_batch_size = max_batch_size
+        self._graph_cache_dir = graph_cache_dir
+        self._kernel_width = kernel_width
+
+        # resolution scan (healpy_networks.py:51-58)
+        self.reduction_fac = 1.0
+        for layer in self.layers_in:
+            if isinstance(layer, (HealpyPool, HealpyPseudoConv, GraphViT)):
+                self.reduction_fac *= 2**layer.p
+            if isinstance(layer, HealpyPseudoConv_Transpose):
+                self.reduction_fac /= 2**layer.p
+
+        self.nside_out = int(self.nside_in // self.reduction_fac)
+        if self.nside_out < 1:
+            raise ValueError(
+                "With the given input, the layers would reduce the nside below zero!"
+                "Use less layers that reduce the nside, e.g. HealpyPool or "
+                "HealpyPseudoConv..."
+            )
+        if not hp.isnsideok(self.nside_out, nest=True):
+            raise ValueError(
+                f"The ouput of the network does not have a valid nside {self.nside_out}..."
+            )
+        logger.info(
+            f"Detected a reduction factor of {self.reduction_fac}, the input with "
+            f"nside {self.nside_in} will be transformed to {self.nside_out} during "
+            f"a forward pass. Checking for consistency with indices..."
+        )
+
+        # index consistency (healpy_networks.py:73-88)
+        if not check_indices_consistent(self.indices_in, self.nside_in, self.nside_out):
+            raise ValueError(
+                "With the given indices it would not be possible to properly reduce "
+                "the input maps with the reduction factor determined by the layers. "
+                "Use the function <extend_indices> from utils with the determined "
+                "minimal nside to make your set of indices compatible..."
+            )
+        logger.info("indices seem consistent...")
+
+        # per-layer build with graph memoization per resolution level
+        self.layers_use = []
+        self.layer_names = []
+        self.graphs = {}
+        counters = {}
+        current_nside = self.nside_in
+        current_indices = self.indices_in
+
+        for layer in self.layers_in:
+            if isinstance(layer, _DeferredLayer):
+                graph = self._get_graph(current_nside, current_indices)
+                actual = layer._get_layer(graph)
+                self.layers_use.append(actual)
+            elif isinstance(layer, (HealpyPool, HealpyPseudoConv, GraphViT)):
+                new_nside = int(current_nside // 2**layer.p)
+                current_indices = transform_indices(current_nside, new_nside, current_indices)
+                current_nside = new_nside
+                self.layers_use.append(layer)
+            elif isinstance(layer, HealpyPseudoConv_Transpose):
+                new_nside = int(current_nside * 2**layer.p)
+                current_indices = transform_indices(current_nside, new_nside, current_indices)
+                current_nside = new_nside
+                self.layers_use.append(layer)
+            else:
+                self.layers_use.append(layer)
+            self.layer_names.append(_layer_display_name(self.layers_use[-1], counters))
+
+        self.module = SequentialModel(layers=tuple(self.layers_use))
+        self.variables = None
+
+    # ------------------------------------------------------------------
+    # graph bookkeeping
+    # ------------------------------------------------------------------
+
+    def _get_graph(self, nside, indices):
+        key = (nside, hash(np.ascontiguousarray(indices).tobytes()))
+        if key not in self.graphs:
+            self.graphs[key] = build_sphere_graph(
+                nside,
+                indices,
+                k=self.n_neighbors,
+                lap_type="normalized",
+                kernel_width=self._kernel_width,
+                cache_dir=self._graph_cache_dir,
+            )
+        return self.graphs[key]
+
+    # ------------------------------------------------------------------
+    # functional API
+    # ------------------------------------------------------------------
+
+    def init(self, rng, x, training=False):
+        if isinstance(rng, int):
+            rng = jax.random.key(rng)
+        if not hasattr(self, "_jit_init"):
+            self._jit_init = jax.jit(
+                lambda r, xx: self.module.init(r, xx, training=False)
+            )
+        return self._jit_init(rng, x)
+
+    def apply(self, variables, x, training=False, mutable=None, rngs=None):
+        if mutable is None:
+            mutable = ["batch_stats"] if training else False
+        if rngs is None and mutable in (False, ["batch_stats"]):
+            # cached jitted fast paths for the two common calls
+            if not hasattr(self, "_jit_apply"):
+                self._jit_apply = {
+                    False: jax.jit(
+                        lambda v, xx: self.module.apply(v, xx, training=False)
+                    ),
+                    True: jax.jit(
+                        lambda v, xx: self.module.apply(
+                            v, xx, training=True, mutable=["batch_stats"]
+                        )
+                    ),
+                }
+            return self._jit_apply[bool(training)](variables, x)
+        return self.module.apply(variables, x, training=training, mutable=mutable, rngs=rngs)
+
+    # ------------------------------------------------------------------
+    # Keras-like stateful surface
+    # ------------------------------------------------------------------
+
+    def build(self, input_shape, rng=0):
+        x = jnp.zeros(input_shape, dtype=jnp.float32)
+        self.variables = self.init(rng, x)
+        self._built_input_shape = tuple(input_shape)
+        return self.variables
+
+    def __call__(self, x, training=False):
+        if self.variables is None:
+            self.build((int(x.shape[0]),) + tuple(x.shape[1:]))
+        if training:
+            y, updates = self.apply(self.variables, x, training=True, mutable=["batch_stats"])
+            self.variables = {**self.variables, **updates}
+            return y
+        return self.apply(self.variables, x, training=False)
+
+    def get_layer(self, name=None, index=None):
+        """Layer instance by display name or position."""
+        if index is not None:
+            return self.layers_use[index]
+        if name is not None:
+            if name not in self.layer_names:
+                raise ValueError(f"No such layer: {name}. Layers: {self.layer_names}")
+            return self.layers_use[self.layer_names.index(name)]
+        raise ValueError("Provide a layer name or index.")
+
+    def summary(self, input_shape=None, line_length=None, print_fn=print):
+        if input_shape is None:
+            if self.variables is None:
+                raise ValueError("Call build(input_shape) first or pass input_shape.")
+            input_shape = self._built_input_shape
+        if self.variables is not None:
+            variables = self.variables
+        else:
+            variables = jax.eval_shape(
+                lambda: self.init(0, jnp.zeros(tuple(input_shape), jnp.float32))
+            )
+        shapes = self._layer_output_shapes(input_shape)
+        params = variables.get("params", {})
+        rows = []
+        for i, (name, layer) in enumerate(zip(self.layer_names, self.layers_use)):
+            pkey = self.param_key(i)
+            nparams = count_params(params[pkey]) if pkey in params else 0
+            rows.append((name, type(layer).__name__, shapes.get(pkey, "?"), nparams))
+        total = count_params(variables)
+        print_fn(format_summary("HealpyGCNN", rows, total))
+
+    def param_key(self, index):
+        """The flax submodule key for the layer at ``index`` (children of the
+        ``layers`` tuple field are named ``layers_<i>``)."""
+        return f"layers_{index}"
+
+    def _layer_output_shapes(self, input_shape):
+        """Map flax submodule key -> output shape via a shape-only trace."""
+
+        def run():
+            x = jnp.zeros(tuple(input_shape), jnp.float32)
+            variables = self.module.init(jax.random.key(0), x, training=False)
+            _, state = self.module.apply(
+                variables,
+                x,
+                training=False,
+                capture_intermediates=True,
+                mutable=["intermediates", "batch_stats"],
+            )
+            return state["intermediates"]
+
+        inter = jax.eval_shape(run)
+        shapes = {}
+        for key, sub in inter.items():
+            if isinstance(sub, dict) and "__call__" in sub:
+                out = sub["__call__"][0]
+                if hasattr(out, "shape"):
+                    shapes[key] = tuple(out.shape)
+        return shapes
+
+    # ------------------------------------------------------------------
+    # Keras-style training surface (delegates to train.Trainer)
+    # ------------------------------------------------------------------
+
+    def compile(self, optimizer=1e-3, loss="sparse_categorical_crossentropy",
+                metrics=(), data_sharding=None):
+        from ..train import Trainer
+
+        self._trainer = Trainer(
+            self, optimizer=optimizer, loss=loss, metrics=metrics,
+            data_sharding=data_sharding,
+        )
+        return self._trainer
+
+    def _require_trainer(self):
+        if getattr(self, "_trainer", None) is None:
+            raise ValueError("Call compile(...) before fit/evaluate.")
+        return self._trainer
+
+    def fit(self, x, y, batch_size=16, epochs=1, validation_data=None,
+            shuffle=True, verbose=1):
+        if self.variables is None:
+            self.build((batch_size,) + tuple(np.asarray(x).shape[1:]))
+        return self._require_trainer().fit(
+            x, y, batch_size=batch_size, epochs=epochs,
+            validation_data=validation_data, shuffle=shuffle, verbose=verbose,
+        )
+
+    def evaluate(self, x, y, batch_size=16, verbose=1):
+        return self._require_trainer().evaluate(x, y, batch_size=batch_size, verbose=verbose)
+
+    def predict(self, x, batch_size=16):
+        if getattr(self, "_trainer", None) is not None:
+            return self._trainer.predict(x, batch_size=batch_size)
+        outs = []
+        for start in range(0, np.asarray(x).shape[0], batch_size):
+            outs.append(np.asarray(self(jnp.asarray(np.asarray(x)[start:start + batch_size]))))
+        return np.concatenate(outs, axis=0)
+
+    # ------------------------------------------------------------------
+    # checkpointing (msgpack, flax.serialization)
+    # ------------------------------------------------------------------
+
+    def save_weights(self, path):
+        if self.variables is None:
+            raise ValueError("Model has no variables yet; call build() first.")
+        with open(path, "wb") as f:
+            f.write(flax.serialization.to_bytes(self.variables))
+
+    def load_weights(self, path):
+        if self.variables is None:
+            raise ValueError("Build the model before loading weights.")
+        with open(path, "rb") as f:
+            self.variables = flax.serialization.from_bytes(self.variables, f.read())
+        return self.variables

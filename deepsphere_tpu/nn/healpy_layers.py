@@ -1,0 +1,159 @@
+"""HEALPix-aware layer API: concrete layers + deferred graph-layer factories.
+
+This module mirrors the public layer surface of
+``/root/reference/src/deepsphere/healpy_layers.py``: the concrete resolution
+layers (``HealpyPool``, ``HealpyPseudoConv``, ``HealpyPseudoConv_Transpose``,
+``Healpy_ViT``, ``HealpySmoothing``) and the *deferred factories*
+(``HealpyChebyshev``, ``HealpyMonomial``, ``HealpyBernstein``,
+``Healpy_ResidualLayer``, ``Healpy_Transformer``) that hold hyperparameters
+and are instantiated by the model assembler once the graph for the current
+resolution is built (``healpy_layers.py:219-507``).
+
+Factories expose ``_get_layer(graph)`` taking a
+:class:`~deepsphere_tpu.graph.SphereGraph` (instead of a scipy Laplacian /
+adjacency — the TPU-native graph carrier).
+"""
+
+from __future__ import annotations
+
+from .layers import (
+    BernsteinConv,
+    ChebyshevConv,
+    Dense,
+    Flatten,
+    HealpyPool,
+    HealpyPseudoConv,
+    HealpyPseudoConv_Transpose,
+    MonomialConv,
+    ResidualLayer,
+)
+from .smoothing import HealpySmoothing, SmoothingOperator
+from .transformers import GraphTransformer, GraphViT
+
+__all__ = [
+    "HealpyPool",
+    "HealpyPseudoConv",
+    "HealpyPseudoConv_Transpose",
+    "HealpySmoothing",
+    "SmoothingOperator",
+    "Healpy_ViT",
+    "HealpyChebyshev",
+    "HealpyMonomial",
+    "HealpyBernstein",
+    "Healpy_ResidualLayer",
+    "Healpy_Transformer",
+    "Flatten",
+    "Dense",
+]
+
+
+class Healpy_ViT(GraphViT):
+    """Wrapper for :class:`GraphViT` — needs no graph, kept for syntax parity
+    with the reference (``healpy_layers.py:381-414``)."""
+
+
+class _DeferredLayer:
+    """Holds hyperparameters until the assembler provides the graph."""
+
+    needs = "L"  # or "A" (transformer only needs the adjacency edges)
+
+    def _get_layer(self, graph):
+        raise NotImplementedError
+
+
+class HealpyChebyshev(_DeferredLayer):
+    def __init__(self, K, Fout=None, initializer=None, activation=None,
+                 use_bias=False, use_bn=False, **kwargs):
+        self.K = K
+        self.Fout = Fout
+        self.initializer = initializer
+        self.activation = activation
+        self.use_bias = use_bias
+        self.use_bn = use_bn
+        self.kwargs = kwargs
+
+    def _get_layer(self, graph, **extra):
+        return ChebyshevConv(
+            graph=graph, K=self.K, Fout=self.Fout, initializer=self.initializer,
+            activation=self.activation, use_bias=self.use_bias, use_bn=self.use_bn,
+            **self.kwargs, **extra,
+        )
+
+
+class HealpyMonomial(_DeferredLayer):
+    def __init__(self, K, Fout=None, initializer=None, activation=None,
+                 use_bias=False, use_bn=False, **kwargs):
+        self.K = K
+        self.Fout = Fout
+        self.initializer = initializer
+        self.activation = activation
+        self.use_bias = use_bias
+        self.use_bn = use_bn
+        self.kwargs = kwargs
+
+    def _get_layer(self, graph, **extra):
+        return MonomialConv(
+            graph=graph, K=self.K, Fout=self.Fout, initializer=self.initializer,
+            activation=self.activation, use_bias=self.use_bias, use_bn=self.use_bn,
+            **self.kwargs, **extra,
+        )
+
+
+class HealpyBernstein(_DeferredLayer):
+    def __init__(self, K, Fout=None, initializer=None, activation=None,
+                 use_bias=False, use_bn=False, **kwargs):
+        self.K = K
+        self.Fout = Fout
+        self.initializer = initializer
+        self.activation = activation
+        self.use_bias = use_bias
+        self.use_bn = use_bn
+        self.kwargs = kwargs
+
+    def _get_layer(self, graph, **extra):
+        return BernsteinConv(
+            graph=graph, K=self.K, Fout=self.Fout, initializer=self.initializer,
+            activation=self.activation, use_bias=self.use_bias, use_bn=self.use_bn,
+            **self.kwargs, **extra,
+        )
+
+
+class Healpy_ResidualLayer(_DeferredLayer):
+    def __init__(self, layer_type, layer_kwargs, activation=None, act_before=False,
+                 use_bn=False, norm_type="batch_norm", bn_kwargs=None, alpha=1.0):
+        self.layer_type = layer_type
+        self.layer_kwargs = layer_kwargs
+        self.activation = activation
+        self.act_before = act_before
+        self.use_bn = use_bn
+        self.norm_type = norm_type
+        self.bn_kwargs = bn_kwargs
+        self.alpha = alpha
+
+    def _get_layer(self, graph, **extra):
+        return ResidualLayer(
+            graph=graph, layer_type=self.layer_type, layer_kwargs=self.layer_kwargs,
+            activation=self.activation, act_before=self.act_before, use_bn=self.use_bn,
+            norm_type=self.norm_type, bn_kwargs=self.bn_kwargs, alpha=self.alpha,
+            **extra,
+        )
+
+
+class Healpy_Transformer(_DeferredLayer):
+    needs = "A"
+
+    def __init__(self, key_dim, num_heads, positional_encoding=True, n_layers=1,
+                 activation="relu", layer_norm=True):
+        self.key_dim = key_dim
+        self.num_heads = num_heads
+        self.positional_encoding = positional_encoding
+        self.n_layers = n_layers
+        self.activation = activation
+        self.layer_norm = layer_norm
+
+    def _get_layer(self, graph, **extra):
+        return GraphTransformer.from_graph(
+            graph, key_dim=self.key_dim, num_heads=self.num_heads,
+            positional_encoding=self.positional_encoding, n_layers=self.n_layers,
+            activation=self.activation, layer_norm=self.layer_norm, **extra,
+        )

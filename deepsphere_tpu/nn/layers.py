@@ -1,0 +1,356 @@
+"""Flax layer zoo: graph convolutions, residual blocks and HEALPix pooling.
+
+TPU-native re-design of the reference layer zoo
+(``/root/reference/src/deepsphere/gnn_layers.py`` and the concrete layers in
+``healpy_layers.py``):
+
+* ``ChebyshevConv`` / ``MonomialConv`` / ``BernsteinConv`` — graph polynomial
+  convolutions over a precomputed :class:`~deepsphere_tpu.graph.SphereGraph`
+  (ELLPACK Laplacian), with initializer / batch-norm / bias / activation
+  semantics matching ``gnn_layers.py:12-161,164-309,416-572``.
+* ``ResidualLayer`` — two conv sublayers with optional norms and the
+  ``act(out + alpha * in)`` coupling of ``gnn_layers.py:386-413``.
+* ``HealpyPool`` — NEST-hierarchy max/avg pooling (``healpy_layers.py:20-84``)
+  as a reshape-reduce (Keras Pool1D with kernel == stride is exactly that).
+* ``HealpyPseudoConv`` / ``HealpyPseudoConv_Transpose`` — learnable 4^p
+  down/up-sampling (``healpy_layers.py:87-216``); a Conv1D with kernel ==
+  stride is a blocked matmul, which is how the MXU wants it anyway.
+
+All layers keep the reference's ``(batch, nodes, channels)`` tensor contract.
+Cross-replica batch-norm for data-parallel training is supported via
+``bn_axis_name`` (maps to ``flax.linen.BatchNorm(axis_name=...)``, i.e. psum
+batch stats over the mesh axis).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, ClassVar, Optional, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+from ..graph import SphereGraph
+from ..ops import spmv
+from ..utils import resolve_activation
+
+__all__ = [
+    "ChebyshevConv",
+    "MonomialConv",
+    "BernsteinConv",
+    "ResidualLayer",
+    "HealpyPool",
+    "HealpyPseudoConv",
+    "HealpyPseudoConv_Transpose",
+    "Flatten",
+    "Dense",
+]
+
+Dtype = Any
+
+
+def _batch_norm(training, axis_name, name=None):
+    """The reference conv-layer BN config: momentum 0.9, eps 1e-5, no affine
+    (``gnn_layers.py:52-53``)."""
+    return nn.BatchNorm(
+        use_running_average=not training,
+        momentum=0.9,
+        epsilon=1e-5,
+        use_bias=False,
+        use_scale=False,
+        axis_name=axis_name,
+        name=name,
+    )
+
+
+class _GraphPolyConv(nn.Module):
+    """Shared skeleton of the three polynomial graph convolutions."""
+
+    graph: SphereGraph
+    K: int
+    Fout: Optional[int] = None
+    initializer: Optional[Callable] = None
+    activation: Optional[Union[str, Callable]] = None
+    use_bias: bool = False
+    use_bn: bool = False
+    bn_axis_name: Optional[str] = None
+
+    # subclass configuration (not dataclass fields)
+    _scale: ClassVar[float] = 1.0
+    _basis: ClassVar = None  # staticmethod set by subclass
+    _n_terms_offset: ClassVar[int] = 0  # Bernstein uses K+1 terms
+
+    def _default_std(self, Fin, Fout):
+        raise NotImplementedError
+
+    @nn.compact
+    def __call__(self, x, training=False):
+        B, M, Fin = x.shape
+        if M != self.graph.n_pixels:
+            raise ValueError(
+                f"Input has {M} nodes but the graph has {self.graph.n_pixels}"
+            )
+        Fout = Fin if self.Fout is None else self.Fout
+        n_terms = self.K + self._n_terms_offset
+
+        if self.initializer is None:
+            init = nn.initializers.truncated_normal(
+                stddev=self._default_std(Fin, Fout), lower=-2.0, upper=2.0
+            )
+        else:
+            init = self.initializer
+        kernel = self.param("kernel", init, (Fin * n_terms, Fout), jnp.float32)
+
+        idx, val = self.graph.ellpack(self._scale)
+        idx = jnp.asarray(idx)
+        val = jnp.asarray(val, dtype=x.dtype)
+
+        basis = lambda x2d, nt: type(self)._basis(idx, val, x2d, nt)
+        y = spmv.graph_conv(basis, x, kernel, n_terms)
+
+        if self.use_bn:
+            y = _batch_norm(training, self.bn_axis_name, name="bn")(y)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (1, 1, Fout), jnp.float32)
+            y = y + bias
+        act = resolve_activation(self.activation)
+        if act is not None:
+            y = act(y)
+        return y
+
+
+class ChebyshevConv(_GraphPolyConv):
+    """Chebyshev graph conv; spectrum rescale 0.75, recurrence and kernel
+    layout per ``gnn_layers.py:64-72,131-150``."""
+
+    _scale: ClassVar[float] = 0.75
+    _basis: ClassVar = staticmethod(spmv.chebyshev_basis)
+
+    def _default_std(self, Fin, Fout):
+        # gnn_layers.py:92-93
+        return 1.0 / np.sqrt(Fin * (self.K + 0.5) / 2.0)
+
+
+class MonomialConv(_GraphPolyConv):
+    """Monomial graph conv; rescale 1.0 (``gnn_layers.py:219`` with the
+    utils.rescale_L default), basis ``gnn_layers.py:287-290``."""
+
+    _scale: ClassVar[float] = 1.0
+    _basis: ClassVar = staticmethod(spmv.monomial_basis)
+
+    def _default_std(self, Fin, Fout):
+        # gnn_layers.py:243
+        return 0.1
+
+
+class BernsteinConv(_GraphPolyConv):
+    """Bernstein graph conv (arXiv:2106.10994); rescale 0.75, K+1 terms,
+    kernel shape [(K+1)*Fin, Fout] per ``gnn_layers.py:469-508``."""
+
+    _scale: ClassVar[float] = 0.75
+    _basis: ClassVar = staticmethod(spmv.bernstein_basis)
+    _n_terms_offset: ClassVar[int] = 1
+
+    def _default_std(self, Fin, Fout):
+        # gnn_layers.py:497
+        return np.sqrt(6.0 / (Fin + Fout))
+
+
+_CONV_TYPES = {"CHEBY": ChebyshevConv, "MONO": MonomialConv}
+
+
+class ResidualLayer(nn.Module):
+    """``out = act(layer2(norm1(layer1(x))) + alpha * x)`` (or the act-before
+    variant), two CHEBY or MONO sublayers — parity with ``GCNN_ResidualLayer``
+    (``gnn_layers.py:312-413``)."""
+
+    graph: SphereGraph
+    layer_type: str
+    layer_kwargs: Any  # dict-like of conv kwargs (K, activation, ...)
+    activation: Optional[Union[str, Callable]] = None
+    act_before: bool = False
+    use_bn: bool = False
+    norm_type: str = "batch_norm"
+    bn_kwargs: Optional[Any] = None
+    alpha: float = 1.0
+    bn_axis_name: Optional[str] = None
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.layer_type not in _CONV_TYPES:
+            raise IOError(f"Layertype not understood: {self.layer_type}")
+        if self.use_bn and self.norm_type not in ("batch_norm", "layer_norm"):
+            raise ValueError(f"norm_type <{self.norm_type}> not understood!")
+        # validate eagerly like the reference (gnn_layers.py:348-353)
+        resolve_activation(self.activation)
+
+    @nn.compact
+    def __call__(self, x, training=False):
+        kwargs = dict(self.layer_kwargs or {})
+        kwargs.pop("L", None)
+        kwargs.pop("n_matmul_splits", None)
+        conv_cls = _CONV_TYPES[self.layer_type]
+        layer1 = conv_cls(graph=self.graph, bn_axis_name=self.bn_axis_name, name="layer1", **kwargs)
+        layer2 = conv_cls(graph=self.graph, bn_axis_name=self.bn_axis_name, name="layer2", **kwargs)
+
+        bn_kwargs = dict(self.bn_kwargs or {})
+        bn_kwargs.pop("axis", None)  # (B, M, F) -> always normalize features
+
+        def norm(name):
+            if self.norm_type == "layer_norm":
+                return nn.LayerNorm(name=name, **bn_kwargs)
+            return nn.BatchNorm(
+                use_running_average=not training,
+                axis_name=self.bn_axis_name,
+                name=name,
+                **bn_kwargs,
+            )
+
+        y = layer1(x, training=training)
+        if self.use_bn:
+            y = norm("bn1")(y)
+        y = layer2(y, training=training)
+        if self.use_bn:
+            y = norm("bn2")(y)
+
+        act = resolve_activation(self.activation)
+        if act is None:
+            return y + x
+        if self.act_before:
+            return act(y) + self.alpha * x
+        return act(y + self.alpha * x)
+
+
+class HealpyPool(nn.Module):
+    """NEST-hierarchy pooling by 4^p: reshape + max/mean over child blocks.
+    Parity with ``healpy_layers.py:20-84`` (and numerically with
+    ``hp.ud_grade`` for AVG)."""
+
+    p: int
+    pool_type: str = "MAX"
+
+    def __post_init__(self):
+        super().__post_init__()
+        if not self.p >= 1:
+            raise IOError("The reduction factors has to be at least 1!")
+        if self.pool_type not in ("MAX", "AVG"):
+            raise IOError(f"Pooling type not understood: {self.pool_type}")
+
+    @property
+    def filter_size(self):
+        return int(4**self.p)
+
+    @nn.compact
+    def __call__(self, x, training=False):
+        B, M, F = x.shape
+        fs = self.filter_size
+        if M % fs != 0:
+            raise IOError(f"Input shape {x.shape} not compatible with the filter size {fs}")
+        blocks = x.reshape(B, M // fs, fs, F)
+        if self.pool_type == "MAX":
+            return jnp.max(blocks, axis=2)
+        return jnp.mean(blocks, axis=2)
+
+
+class HealpyPseudoConv(nn.Module):
+    """Learnable 4^p -> 1 downsampling: Conv1D with kernel == stride is a
+    blocked matmul ``(B, M/4^p, 4^p * Fin) @ (4^p * Fin, Fout)``.
+    Parity with ``healpy_layers.py:87-146`` (Conv1D default glorot-uniform
+    kernel + zero bias)."""
+
+    p: int
+    Fout: int
+    kernel_initializer: Optional[Callable] = None
+    use_bias: bool = True
+
+    def __post_init__(self):
+        super().__post_init__()
+        if not self.p >= 1:
+            raise IOError("The reduction factors has to be at least 1!")
+
+    @property
+    def filter_size(self):
+        return int(4**self.p)
+
+    @nn.compact
+    def __call__(self, x, training=False):
+        B, M, Fin = x.shape
+        fs = self.filter_size
+        if M % fs != 0:
+            raise IOError(f"Input shape {x.shape} not compatible with the filter size {fs}")
+        init = self.kernel_initializer or nn.initializers.glorot_uniform()
+        kernel = self.param("kernel", init, (fs * Fin, self.Fout), jnp.float32)
+        y = jnp.dot(
+            x.reshape(B, M // fs, fs * Fin), kernel.astype(x.dtype),
+            precision=config.precision(),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.Fout,), jnp.float32)
+            y = y + bias
+        return y
+
+
+class HealpyPseudoConv_Transpose(nn.Module):
+    """Learnable 1 -> 4^p upsampling (transpose of the pseudo conv): each
+    coarse pixel emits a 4^p block, ``y[b, m*4^p + j, o] = sum_f x[b, m, f] *
+    W[j, f, o] + b[o]``.  Parity with the Conv2DTranspose formulation at
+    ``healpy_layers.py:149-216``."""
+
+    p: int
+    Fout: int
+    kernel_initializer: Optional[Callable] = None
+    use_bias: bool = True
+
+    def __post_init__(self):
+        super().__post_init__()
+        if not self.p >= 1:
+            raise IOError("The boost factors has to be at least 1!")
+
+    @property
+    def filter_size(self):
+        return int(4**self.p)
+
+    @nn.compact
+    def __call__(self, x, training=False):
+        B, M, Fin = x.shape
+        fs = self.filter_size
+        init = self.kernel_initializer or nn.initializers.glorot_uniform()
+        kernel = self.param("kernel", init, (fs, Fin, self.Fout), jnp.float32)
+        y = jnp.einsum(
+            "bmf,jfo->bmjo", x, kernel.astype(x.dtype),
+            preferred_element_type=jnp.float32, precision=config.precision(),
+        ).astype(x.dtype)
+        y = y.reshape(B, M * fs, self.Fout)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.Fout,), jnp.float32)
+            y = y + bias
+        return y
+
+
+class Flatten(nn.Module):
+    """(B, M, F) -> (B, M*F); drop-in for the tf.keras.layers.Flatten used in
+    reference model heads (``tests/test_healpy_networks.py:37``)."""
+
+    @nn.compact
+    def __call__(self, x, training=False):
+        return x.reshape(x.shape[0], -1)
+
+
+class Dense(nn.Module):
+    """Dense head layer with optional activation (tf.keras.layers.Dense
+    analogue for model heads)."""
+
+    features: int
+    activation: Optional[Union[str, Callable]] = None
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, training=False):
+        y = nn.Dense(
+            self.features, use_bias=self.use_bias, name="dense",
+            precision=config.precision(),
+        )(x)
+        act = resolve_activation(self.activation)
+        return act(y) if act is not None else y

@@ -1,0 +1,202 @@
+"""Gaussian smoothing layer on (possibly partial) HEALPix maps.
+
+TPU-native re-design of ``HealpySmoothing``
+(``/root/reference/src/deepsphere/healpy_layers.py:510-853``): the Gaussian
+kernel is precomputed host-side as a fixed-width row-normalized ELLPACK
+operator (BallTree haversine kNN within ``n_sigma_support * sigma``), and the
+smoothing is a padded-gather SpMV on TPU — one fixed-width weighted sum per
+pixel, applied per channel with the repetition trick for multi-scale channels
+(Gaussian closure under convolution, ``healpy_layers.py:592-621``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from .._logger import logger
+from ..ops.spmv import ellpack_spmv
+from ..sphere import healpix as hp
+
+__all__ = ["SmoothingOperator", "HealpySmoothing"]
+
+
+def _rad_to_arcmin(theta):
+    return theta / np.pi * (180 * 60)
+
+
+def _arcmin_to_rad(theta):
+    return theta * np.pi / (60 * 180)
+
+
+class SmoothingOperator:
+    """Host-side precompute of the sparse Gaussian smoothing kernel.
+
+    Hashable by content key so it can live on a Flax module.  Mirrors the
+    constructor logic of the reference layer (fwhm/sigma handling,
+    per-channel repetitions inference, disk cache) at
+    ``healpy_layers.py:515-664``.
+    """
+
+    def __init__(
+        self,
+        nside,
+        indices,
+        nest=True,
+        fwhm=None,
+        sigma=None,
+        n_sigma_support=3,
+        arcmin=True,
+        per_channel_repetitions=None,
+        data_path=None,
+    ):
+        assert fwhm is not None or sigma is not None, "One of fwhm and sigma has to be specified"
+        assert fwhm is None or sigma is None, "Only one of fwhm and sigma can be specified"
+
+        self.nside = int(nside)
+        self.indices = np.asarray(indices, dtype=np.int64)
+        self.nest = nest
+        self.n_sigma_support = n_sigma_support
+        self.per_channel_repetitions = per_channel_repetitions
+
+        self.do_smoothing = not (fwhm == 0.0 or sigma == 0.0)
+        if not self.do_smoothing:
+            logger.info("The layer implements the identity, smoothing is disabled")
+            self._key = ("identity",)
+            return
+
+        # multi-scale channels: smallest scale is the base kernel, larger
+        # scales are integer repetitions (variances add)
+        if isinstance(fwhm, (list, np.ndarray)):
+            assert per_channel_repetitions is None
+            fwhm = np.asarray(fwhm, dtype=np.float64)
+            fwhm_min = float(np.min(fwhm))
+            self.per_channel_repetitions = np.ceil((fwhm / fwhm_min) ** 2).astype(int)
+            fwhm = fwhm_min
+        elif isinstance(sigma, (list, np.ndarray)):
+            assert per_channel_repetitions is None
+            sigma = np.asarray(sigma, dtype=np.float64)
+            sigma_min = float(np.min(sigma))
+            self.per_channel_repetitions = np.ceil((sigma / sigma_min) ** 2).astype(int)
+            sigma = sigma_min
+        elif isinstance(per_channel_repetitions, list):
+            self.per_channel_repetitions = np.asarray(per_channel_repetitions, dtype=int)
+
+        if sigma is None:
+            sigma = fwhm / np.sqrt(8 * np.log(2))
+        if arcmin:
+            self.sigma_arcmin = float(sigma)
+            self.sigma_rad = _arcmin_to_rad(self.sigma_arcmin)
+        else:
+            self.sigma_rad = float(sigma)
+            self.sigma_arcmin = _rad_to_arcmin(self.sigma_rad)
+        self.fwhm_arcmin = self.sigma_arcmin * np.sqrt(8 * np.log(2))
+
+        self.n_indices = len(self.indices)
+        file_label = f"-nside{self.nside}-sigma{self.sigma_arcmin:4.2f}-n_sigma{n_sigma_support}"
+
+        idx = val = None
+        if data_path is not None:
+            try:
+                idx = np.load(os.path.join(data_path, f"ell_idx{file_label}.npy"))
+                val = np.load(os.path.join(data_path, f"ell_val{file_label}.npy"))
+                logger.info(f"Loaded cached smoothing kernel from {data_path}")
+            except FileNotFoundError:
+                idx = val = None
+        if idx is None:
+            idx, val = self._build_kernel()
+            if data_path is not None:
+                os.makedirs(data_path, exist_ok=True)
+                np.save(os.path.join(data_path, f"ell_idx{file_label}.npy"), idx)
+                np.save(os.path.join(data_path, f"ell_val{file_label}.npy"), val)
+                logger.info(f"Cached smoothing kernel to {data_path}")
+
+        # row-normalize: smoothing preserves the mean (healpy_layers.py:841-842)
+        rowsum = val.sum(axis=1, keepdims=True)
+        rowsum[rowsum == 0.0] = 1.0
+        self.ell_idx = idx.astype(np.int32)
+        self.ell_val = (val / rowsum).astype(np.float32)
+
+        import hashlib
+
+        self._key = (
+            self.nside,
+            self.n_indices,
+            round(self.sigma_arcmin, 10),
+            n_sigma_support,
+            hashlib.sha1(np.ascontiguousarray(self.indices).tobytes()).hexdigest()[:16],
+        )
+        logger.info("Successfully created the smoothing kernel operator")
+
+    def _build_kernel(self):
+        """BallTree haversine kNN within n_sigma_support * sigma, evaluated
+        with the Gaussian kernel (``healpy_layers.py:766-829``)."""
+        from sklearn.neighbors import BallTree
+
+        lon, lat = hp.pix2ang(self.nside, self.indices, nest=self.nest, lonlat=True)
+        theta = np.stack([np.radians(lat), np.radians(lon)], axis=1)
+        tree = BallTree(theta, metric="haversine")
+
+        radius = self.sigma_rad * self.n_sigma_support
+        counts = tree.query_radius(theta, r=radius, count_only=True)
+        max_neighbors = int(np.max(counts))
+        logger.info(f"The maximal number of neighbors within that radius is {max_neighbors}")
+
+        dist, inds = tree.query(theta, k=min(max_neighbors, self.n_indices), sort_results=True)
+        val = np.exp(-0.5 / self.sigma_rad**2 * dist**2).astype(np.float32)
+        return inds.astype(np.int64), val
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, SmoothingOperator) and self._key == other._key
+
+
+class HealpySmoothing(nn.Module):
+    """Flax smoothing layer; ``operator`` is a precomputed
+    :class:`SmoothingOperator`; ``mask`` optionally zeroes the padding region
+    (``healpy_layers.py:758-759``)."""
+
+    operator: SmoothingOperator
+    mask: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, training=False):
+        op = self.operator
+        if not op.do_smoothing:
+            return x
+        B, M, C = x.shape
+        if M != op.n_indices:
+            raise ValueError(f"Input has {M} pixels, operator expects {op.n_indices}")
+
+        idx = jnp.asarray(op.ell_idx)
+        val = jnp.asarray(op.ell_val, dtype=x.dtype)
+        x2d = jnp.transpose(x, (1, 0, 2))  # (M, B, C)
+
+        reps = op.per_channel_repetitions
+        if reps is None:
+            y2d = ellpack_spmv(idx, val, x2d.reshape(M, B * C)).reshape(M, B, C)
+        else:
+            assert len(reps) == C, f"per_channel_repetitions has to have length {C}"
+            chans = []
+            for c in range(C):
+                xc = x2d[:, :, c]
+                for _ in range(int(reps[c])):
+                    xc = ellpack_spmv(idx, val, xc)
+                chans.append(xc)
+            y2d = jnp.stack(chans, axis=2)
+
+        y = jnp.transpose(y2d, (1, 0, 2))
+        if self.mask is not None:
+            mask = jnp.asarray(self.mask, dtype=x.dtype)
+            if mask.ndim == 1:
+                mask = mask[None, :, None]
+            elif mask.ndim == 2:
+                mask = mask[None]
+            y = y * mask
+        return y

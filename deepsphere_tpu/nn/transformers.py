@@ -1,0 +1,217 @@
+"""Graph attention layers: ViT over NEST superpixels and edge-sparse
+graph transformer.
+
+TPU-native re-design of
+``/root/reference/src/deepsphere/gnn_transformers.py:113-450``:
+
+* ``AddPositionEmbs`` — learned additive positional embedding
+  (``gnn_transformers.py:113-146``).
+* ``MultiHeadAttention`` — pre-LN MHA block with the reference's residual
+  wiring (``gnn_transformers.py:198-245``): the residual adds the *normed*
+  input, then LN -> Dense -> activation -> second residual.
+* ``GraphViT`` — patchify NEST superpixels with a blocked-matmul embedding
+  (Conv1D kernel == stride == 4^p, ``gnn_transformers.py:298-304``) followed
+  by dense-attention MHA blocks; requires p > 1 like the reference
+  (``gnn_transformers.py:283-284``).
+* ``GraphTransformer`` — full-resolution transformer masked by the graph
+  adjacency (arXiv:2012.09699): Dense embedding + MHA blocks using the
+  edge-sparse segment-sum attention (``gnn_transformers.py:359-450``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+from ..graph import SphereGraph
+from ..ops.attention import edge_sparse_attention, scaled_dot_product_attention
+from ..utils import resolve_activation
+
+__all__ = ["AddPositionEmbs", "MultiHeadAttention", "GraphViT", "GraphTransformer"]
+
+
+class AddPositionEmbs(nn.Module):
+    """Adds a learned positional embedding of shape (1, seq, emb)."""
+
+    posemb_init: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x, training=False):
+        init = self.posemb_init or nn.initializers.normal(stddev=0.02)
+        pos = self.param("pos_embedding", init, (1, x.shape[1], x.shape[2]), jnp.float32)
+        return x + pos.astype(x.dtype)
+
+
+class _EdgeSet:
+    """Hashable wrapper for a static (E, 2) edge-index array so it can live
+    on a Flax module without retracing issues."""
+
+    def __init__(self, edge_idx, num_nodes):
+        self.edge_idx = np.asarray(edge_idx, dtype=np.int64)
+        self.num_nodes = int(num_nodes)
+        import hashlib
+
+        self._key = (
+            self.num_nodes,
+            hashlib.sha1(np.ascontiguousarray(self.edge_idx).tobytes()).hexdigest(),
+        )
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, _EdgeSet) and self._key == other._key
+
+
+class MultiHeadAttention(nn.Module):
+    """Pre-LN MHA block (dense or edge-sparse) with single-layer MLP."""
+
+    d_model: int
+    num_heads: int
+    use_norm: bool = True
+    activation: Union[str, Callable] = "relu"
+    edges: Optional[_EdgeSet] = None  # None -> dense attention
+
+    def __post_init__(self):
+        super().__post_init__()
+        assert self.d_model % self.num_heads == 0
+
+    @nn.compact
+    def __call__(self, x, mask=None, training=False):
+        B, S, _ = x.shape
+        depth = self.d_model // self.num_heads
+
+        if self.use_norm:
+            x = nn.LayerNorm(name="layer_norm1")(x)
+
+        def split_heads(t):
+            return jnp.transpose(t.reshape(B, S, self.num_heads, depth), (0, 2, 1, 3))
+
+        prec = config.precision()
+        q = split_heads(nn.Dense(self.d_model, name="wq", precision=prec)(x))
+        k = split_heads(nn.Dense(self.d_model, name="wk", precision=prec)(x))
+        v = split_heads(nn.Dense(self.d_model, name="wv", precision=prec)(x))
+
+        if self.edges is None:
+            attn, _ = scaled_dot_product_attention(q, k, v, mask)
+        else:
+            attn = edge_sparse_attention(
+                q, k, v, jnp.asarray(self.edges.edge_idx), self.edges.num_nodes
+            )
+
+        attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(B, S, self.d_model)
+
+        # residual adds the *normed* input (gnn_transformers.py:234)
+        concat = x + attn
+        out = nn.LayerNorm(name="layer_norm2")(concat) if self.use_norm else concat
+        out = nn.Dense(self.d_model, name="dense", precision=prec)(out)
+        act = resolve_activation(self.activation) or (lambda t: t)
+        out = act(out)
+        return out + concat
+
+
+class GraphViT(nn.Module):
+    """ViT over 4^p NEST superpixels: blocked-matmul patch embedding +
+    positional embedding + n_layers dense MHA blocks.  Output
+    (B, M/4^p, key_dim * num_heads)."""
+
+    p: int
+    key_dim: int
+    num_heads: int
+    positional_encoding: bool = True
+    n_layers: int = 1
+    activation: Union[str, Callable] = "relu"
+    layer_norm: bool = True
+
+    def __post_init__(self):
+        super().__post_init__()
+        if not self.p > 1:
+            raise IOError("The super pixel size factor p has to be at least 1!")
+        assert self.n_layers >= 1, "Number of attention layers should be at least 1"
+
+    @property
+    def filter_size(self):
+        return int(4**self.p)
+
+    @property
+    def embedding_size(self):
+        return self.key_dim * self.num_heads
+
+    @nn.compact
+    def __call__(self, x, training=False):
+        B, M, Fin = x.shape
+        fs = self.filter_size
+        if M % fs != 0:
+            raise IOError(
+                f"Input shape {x.shape} not compatible with the embedding filter size {fs}"
+            )
+        # Conv1D(kernel == stride == 4^p) == blocked matmul (one MXU matmul)
+        kernel = self.param(
+            "embed_kernel",
+            nn.initializers.glorot_uniform(),
+            (fs * Fin, self.embedding_size),
+            jnp.float32,
+        )
+        bias = self.param("embed_bias", nn.initializers.zeros, (self.embedding_size,), jnp.float32)
+        y = jnp.dot(
+            x.reshape(B, M // fs, fs * Fin), kernel.astype(x.dtype),
+            precision=config.precision(),
+        ) + bias
+
+        if self.positional_encoding:
+            y = AddPositionEmbs(name="pos_encoder")(y)
+
+        for i in range(self.n_layers):
+            y = MultiHeadAttention(
+                d_model=self.embedding_size,
+                num_heads=self.num_heads,
+                use_norm=self.layer_norm,
+                activation=self.activation,
+                name=f"mha_{i}",
+            )(y, training=training)
+        return y
+
+
+class GraphTransformer(nn.Module):
+    """Full-resolution graph transformer, attention masked by the adjacency
+    edge set of a :class:`SphereGraph` (or any explicit edge list)."""
+
+    edges: _EdgeSet
+    key_dim: int
+    num_heads: int
+    positional_encoding: bool = True
+    n_layers: int = 1
+    activation: Union[str, Callable] = "relu"
+    layer_norm: bool = True
+
+    @classmethod
+    def from_graph(cls, graph: SphereGraph, **kwargs):
+        return cls(edges=_EdgeSet(graph.edge_idx, graph.n_pixels), **kwargs)
+
+    def __post_init__(self):
+        super().__post_init__()
+        assert self.n_layers >= 1, "Number of attention layers should be at least 1"
+
+    @property
+    def embedding_size(self):
+        return self.key_dim * self.num_heads
+
+    @nn.compact
+    def __call__(self, x, training=False):
+        y = nn.Dense(self.embedding_size, name="embed", precision=config.precision())(x)
+        if self.positional_encoding:
+            y = AddPositionEmbs(name="pos_encoder")(y)
+        for i in range(self.n_layers):
+            y = MultiHeadAttention(
+                d_model=self.embedding_size,
+                num_heads=self.num_heads,
+                use_norm=self.layer_norm,
+                activation=self.activation,
+                edges=self.edges,
+                name=f"mha_{i}",
+            )(y, training=training)
+        return y

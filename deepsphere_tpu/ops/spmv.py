@@ -1,0 +1,120 @@
+"""ELLPACK sparse matvec and graph-polynomial bases (jnp reference path).
+
+The hot loop of the framework (see the reference call stack,
+``/root/reference/src/deepsphere/gnn_layers.py:106-161``): K applications of
+the rescaled graph Laplacian against a dense (M, C) activation matrix,
+interleaved per the Chebyshev / Monomial / Bernstein recurrences, followed by
+one dense (B*M, Fin*K) x (Fin*K, Fout) matmul.
+
+TPU-native layout: the Laplacian is a padded ELLPACK pair ``(idx, val)`` of
+shape (M, W) — the kNN sphere graph has fixed bounded degree — so the SpMV is
+a fixed-width gather plus a W-term weighted sum, which XLA vectorizes on the
+VPU, and the final contraction is a single large MXU matmul.  A fused Pallas
+kernel for the full Chebyshev recursion lives in ``ops/pallas``; this module
+is the always-correct reference path and the autodiff fallback.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from scipy.special import comb
+
+from .. import config
+
+__all__ = [
+    "ellpack_spmv",
+    "chebyshev_basis",
+    "monomial_basis",
+    "bernstein_basis",
+    "graph_conv",
+]
+
+
+def ellpack_spmv(idx, val, x):
+    """y = L @ x with L in padded ELLPACK form.
+
+    :param idx: (M, W) int32 column indices (padded entries self-point)
+    :param val: (M, W) values (padded entries are 0)
+    :param x: (M, C) dense activations
+    :return: (M, C)
+    """
+    gathered = jnp.take(x, idx, axis=0)  # (M, W, C)
+    return jnp.einsum(
+        "mw,mwc->mc", val, gathered,
+        preferred_element_type=x.dtype, precision=config.precision(),
+    )
+
+
+def chebyshev_basis(idx, val, x, K):
+    """Chebyshev basis stack [T_0(L)x, ..., T_{K-1}(L)x], shape (K, M, C).
+
+    Recurrence x_k = 2 L x_{k-1} - x_{k-2} (``gnn_layers.py:137-143``).
+    K is static; the loop unrolls into the jaxpr.
+    """
+    stack = [x]
+    if K > 1:
+        x1 = ellpack_spmv(idx, val, x)
+        stack.append(x1)
+        x0 = x
+        for _ in range(2, K):
+            x2 = 2.0 * ellpack_spmv(idx, val, x1) - x0
+            stack.append(x2)
+            x0, x1 = x1, x2
+    return jnp.stack(stack, axis=0)
+
+
+def monomial_basis(idx, val, x, K):
+    """Monomial basis stack [x, Lx, L^2 x, ...], shape (K, M, C)
+    (``gnn_layers.py:287-290``)."""
+    stack = [x]
+    for _ in range(1, K):
+        x = ellpack_spmv(idx, val, x)
+        stack.append(x)
+    return jnp.stack(stack, axis=0)
+
+
+def bernstein_basis(idx, val, x, n_terms):
+    """Bernstein basis stack, shape (n_terms = K+1, M, C).
+
+    Term i: comb(K, i)/2^K * (2I - L)^(K-i) L^i x (``gnn_layers.py:542-554``;
+    arXiv:2106.10994).  Note: the reference has an off-by-one quirk for the
+    i = K term (it reuses the previous loop iteration's buffer,
+    ``gnn_layers.py:549-553``); we implement the mathematically correct term.
+    """
+    K = n_terms - 1
+    # prefix: L^i x for i = 0..K
+    powers = [x]
+    for _ in range(K):
+        powers.append(ellpack_spmv(idx, val, powers[-1]))
+    stack = []
+    for i in range(K + 1):
+        theta = float(comb(K, i)) / (2.0**K)
+        y = powers[i]
+        for _ in range(K - i):
+            y = 2.0 * y - ellpack_spmv(idx, val, y)
+        stack.append(theta * y)
+    return jnp.stack(stack, axis=0)
+
+
+def graph_conv(basis, x, kernel, n_terms):
+    """Apply a graph polynomial conv given a basis function.
+
+    :param basis: callable (x2d (M, C), n_terms) -> (n_terms, M, C)
+    :param x: input activations (B, M, Fin)
+    :param kernel: (Fin * n_terms, Fout) — Fin-major, term-minor row layout,
+        identical to the reference kernel layout (``gnn_layers.py:144-150``,
+        confirmed by the (Fin, K, Fout) reshape at ``healpy_networks.py:199-204``)
+    :return: (B, M, Fout)
+    """
+    B, M, Fin = x.shape
+    Fout = kernel.shape[-1]
+    x2d = jnp.transpose(x, (1, 0, 2)).reshape(M, B * Fin)
+    tx = basis(x2d, n_terms)  # (K, M, B*Fin)
+    tx = tx.reshape(n_terms, M, B, Fin)
+    tx = jnp.transpose(tx, (2, 1, 3, 0)).reshape(B * M, Fin * n_terms)
+    y = jnp.dot(
+        tx, kernel.astype(tx.dtype),
+        preferred_element_type=jnp.float32, precision=config.precision(),
+    )
+    return y.reshape(B, M, Fout).astype(x.dtype)
