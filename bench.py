@@ -1,0 +1,90 @@
+"""Benchmark: maps/sec/chip for the K=5 Chebyshev graph convolution at
+nside=1024 (the driver-defined north-star metric, BASELINE.json).
+
+Runs on whatever the default jax platform is (the real TPU chip under axon).
+The graph is built once with the fast O(M) grid constructor and cached to
+``.bench_cache/`` so later rounds skip the host precompute.
+
+``vs_baseline``: the reference repo publishes no benchmark numbers
+(BASELINE.md), so we normalize against the only published throughput trace —
+the quick_start classifier at ~0.6 s/step for batch 16 (26.7 maps/s on
+unstated hardware, nside=64).  Our metric processes nside=1024 maps (256x
+more pixels per map), so this normalization is very conservative.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+NSIDE = int(os.environ.get("BENCH_NSIDE", 1024))
+K = 5
+FIN = 4
+FOUT = 4
+BATCH = int(os.environ.get("BENCH_BATCH", 4))
+REFERENCE_MAPS_PER_SEC = 16 / 0.6  # quick_start.ipynb cell 16 output
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import deepsphere_tpu as ds
+    from deepsphere_tpu.graph import build_sphere_graph
+    from deepsphere_tpu.ops.spmv import chebyshev_basis, graph_conv
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+    os.makedirs(cache, exist_ok=True)
+
+    t0 = time.time()
+    graph = build_sphere_graph(NSIDE, k=8, method="grid", cache_dir=cache)
+    idx_np, val_np = graph.ellpack(0.75)
+    build_s = time.time() - t0
+
+    npix = graph.n_pixels
+    idx = jnp.asarray(idx_np)
+    val = jnp.asarray(val_np)
+    kernel = jnp.asarray(
+        np.random.RandomState(0).normal(scale=0.1, size=(FIN * K, FOUT)), dtype=jnp.float32
+    )
+    x = jnp.asarray(
+        np.random.RandomState(1).normal(size=(BATCH, npix, FIN)), dtype=jnp.float32
+    )
+
+    @jax.jit
+    def conv(x, kernel):
+        return graph_conv(
+            lambda x2d, nt: chebyshev_basis(idx, val, x2d, nt), x, kernel, K
+        )
+
+    # compile + warmup
+    y = conv(x, kernel)
+    y.block_until_ready()
+
+    n_iters = 10
+    t0 = time.time()
+    for _ in range(n_iters):
+        y = conv(x, kernel)
+    y.block_until_ready()
+    dt = (time.time() - t0) / n_iters
+
+    maps_per_sec = BATCH / dt
+    result = {
+        "metric": f"maps/sec/chip nside={NSIDE} K={K} Chebyshev conv fwd "
+                  f"(Fin={FIN} Fout={FOUT} batch={BATCH})",
+        "value": round(maps_per_sec, 3),
+        "unit": "maps/s",
+        "vs_baseline": round(maps_per_sec / REFERENCE_MAPS_PER_SEC, 3),
+        "extra": {
+            "step_ms": round(dt * 1e3, 2),
+            "graph_build_s": round(build_s, 1),
+            "platform": jax.devices()[0].platform,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,27 @@ __all__ = [
 ]
 
 
+def _grid_adjacency(nside, indices, kernel_width=None):
+    """Gaussian-weighted adjacency from the NEST grid 8-neighbor structure
+    (vectorized; O(M) — no tree queries).  This is the construction of the
+    original DeepSphere (healpy ``get_all_neighbours``); it differs from the
+    kNN graph only along face boundaries.  Full sphere only."""
+    coords = hp.pix2vec(nside, indices, nest=True)
+    nb = hp.neighbors_nest(nside, indices)  # (M, 8), -1 padded
+    rows = np.repeat(np.arange(len(indices), dtype=np.int64), 8)
+    cols = nb.reshape(-1)
+    valid = cols >= 0
+    rows, cols = rows[valid], cols[valid]
+    d = np.linalg.norm(coords[rows] - coords[cols], axis=1)
+    if kernel_width is None:
+        kernel_width = float(np.mean(d))
+    w = np.exp(-(d**2) / (2.0 * kernel_width**2)).astype(np.float64)
+    n = len(indices)
+    W = sparse.csr_matrix((w, (rows, cols)), shape=(n, n))
+    W = (W + W.T) / 2.0  # symmetric already; averaging dedups exactly
+    return W, kernel_width
+
+
 def _knn_adjacency(coords, k, kernel_width=None):
     """Gaussian-weighted symmetric kNN adjacency from 3D unit vectors."""
     from sklearn.neighbors import NearestNeighbors
@@ -208,6 +229,7 @@ def build_sphere_graph(
     lap_type="normalized",
     kernel_width=None,
     cache_dir=None,
+    method="knn",
 ):
     """Build the sphere graph for a (sub)set of HEALPix NEST pixels.
 
@@ -223,6 +245,9 @@ def build_sphere_graph(
     :param cache_dir: optional directory to cache the built graph (npz),
         keyed by (nside, indices, k, lap_type, kernel_width) like the disk
         cache of the reference smoothing layer (``healpy_layers.py:652-662``).
+    :param method: "knn" (pygsp-SphereHealpix semantics, default) or "grid"
+        (NEST 8-neighbor structure, vectorized O(M) build — the original
+        DeepSphere-TF1 construction; requires k=8 and a full sphere).
     """
     if indices is None:
         indices = np.arange(hp.nside2npix(nside), dtype=np.int64)
@@ -233,7 +258,8 @@ def build_sphere_graph(
         ih = hashlib.sha1(np.ascontiguousarray(indices).tobytes()).hexdigest()[:16]
         kw = "auto" if kernel_width is None else f"{kernel_width:.8g}"
         cache_path = os.path.join(
-            cache_dir, f"sphere_graph-nside{nside}-{ih}-k{k}-{lap_type}-{kw}.npz"
+            cache_dir,
+            f"sphere_graph-nside{nside}-{ih}-k{k}-{lap_type}-{kw}-{method}.npz",
         )
         if os.path.exists(cache_path):
             z = np.load(cache_path)
@@ -255,8 +281,17 @@ def build_sphere_graph(
                 lmax=float(z["lmax"]),
             )
 
-    coords = hp.pix2vec(nside, indices, nest=True)
-    W, kw_used = _knn_adjacency(coords, k, kernel_width)
+    if method == "grid":
+        if k != 8:
+            raise ValueError("method='grid' supports k=8 only")
+        if len(indices) != hp.nside2npix(nside):
+            raise ValueError("method='grid' supports the full sphere only")
+        W, kw_used = _grid_adjacency(nside, indices, kernel_width)
+    elif method == "knn":
+        coords = hp.pix2vec(nside, indices, nest=True)
+        W, kw_used = _knn_adjacency(coords, k, kernel_width)
+    else:
+        raise ValueError(f"Unknown graph method: {method}")
     if lap_type == "normalized":
         L = _normalized_laplacian(W)
     elif lap_type == "combinatorial":

@@ -123,6 +123,7 @@ class HealpyGCNN:
         initial_Fin=None,
         graph_cache_dir=None,
         kernel_width=None,
+        shard_cfg=None,
     ):
         logger.info(
             "WARNING: This network assumes that everything concerning healpy "
@@ -141,6 +142,7 @@ class HealpyGCNN:
         self.max_batch_size = max_batch_size
         self._graph_cache_dir = graph_cache_dir
         self._kernel_width = kernel_width
+        self.shard_cfg = shard_cfg
 
         # resolution scan (healpy_networks.py:51-58)
         self.reduction_fac = 1.0
@@ -188,7 +190,10 @@ class HealpyGCNN:
         for layer in self.layers_in:
             if isinstance(layer, _DeferredLayer):
                 graph = self._get_graph(current_nside, current_indices)
-                actual = layer._get_layer(graph)
+                extra = {}
+                if shard_cfg is not None and layer.needs == "L":
+                    extra["shard_cfg"] = shard_cfg
+                actual = layer._get_layer(graph, **extra)
                 self.layers_use.append(actual)
             elif isinstance(layer, (HealpyPool, HealpyPseudoConv, GraphViT)):
                 new_nside = int(current_nside // 2**layer.p)

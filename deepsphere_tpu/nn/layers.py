@@ -76,10 +76,12 @@ class _GraphPolyConv(nn.Module):
     use_bias: bool = False
     use_bn: bool = False
     bn_axis_name: Optional[str] = None
+    shard_cfg: Optional[Any] = None  # parallel.ShardConfig -> halo-sharded SpMV
 
     # subclass configuration (not dataclass fields)
     _scale: ClassVar[float] = 1.0
     _basis: ClassVar = None  # staticmethod set by subclass
+    _basis_kind: ClassVar[str] = ""
     _n_terms_offset: ClassVar[int] = 0  # Bernstein uses K+1 terms
 
     def _default_std(self, Fin, Fout):
@@ -103,12 +105,19 @@ class _GraphPolyConv(nn.Module):
             init = self.initializer
         kernel = self.param("kernel", init, (Fin * n_terms, Fout), jnp.float32)
 
-        idx, val = self.graph.ellpack(self._scale)
-        idx = jnp.asarray(idx)
-        val = jnp.asarray(val, dtype=x.dtype)
+        if self.shard_cfg is not None:
+            from ..parallel.sharded_ops import sharded_poly_conv
 
-        basis = lambda x2d, nt: type(self)._basis(idx, val, x2d, nt)
-        y = spmv.graph_conv(basis, x, kernel, n_terms)
+            y = sharded_poly_conv(
+                self._basis_kind, self.graph, x, kernel, n_terms,
+                self._scale, self.shard_cfg,
+            )
+        else:
+            idx, val = self.graph.ellpack(self._scale)
+            idx = jnp.asarray(idx)
+            val = jnp.asarray(val, dtype=x.dtype)
+            basis = lambda x2d, nt: type(self)._basis(idx, val, x2d, nt)
+            y = spmv.graph_conv(basis, x, kernel, n_terms)
 
         if self.use_bn:
             y = _batch_norm(training, self.bn_axis_name, name="bn")(y)
@@ -127,6 +136,7 @@ class ChebyshevConv(_GraphPolyConv):
 
     _scale: ClassVar[float] = 0.75
     _basis: ClassVar = staticmethod(spmv.chebyshev_basis)
+    _basis_kind: ClassVar[str] = "cheby"
 
     def _default_std(self, Fin, Fout):
         # gnn_layers.py:92-93
@@ -139,6 +149,7 @@ class MonomialConv(_GraphPolyConv):
 
     _scale: ClassVar[float] = 1.0
     _basis: ClassVar = staticmethod(spmv.monomial_basis)
+    _basis_kind: ClassVar[str] = "mono"
 
     def _default_std(self, Fin, Fout):
         # gnn_layers.py:243
@@ -151,6 +162,7 @@ class BernsteinConv(_GraphPolyConv):
 
     _scale: ClassVar[float] = 0.75
     _basis: ClassVar = staticmethod(spmv.bernstein_basis)
+    _basis_kind: ClassVar[str] = "bern"
     _n_terms_offset: ClassVar[int] = 1
 
     def _default_std(self, Fin, Fout):
@@ -176,6 +188,7 @@ class ResidualLayer(nn.Module):
     bn_kwargs: Optional[Any] = None
     alpha: float = 1.0
     bn_axis_name: Optional[str] = None
+    shard_cfg: Optional[Any] = None
 
     def __post_init__(self):
         super().__post_init__()
@@ -192,8 +205,10 @@ class ResidualLayer(nn.Module):
         kwargs.pop("L", None)
         kwargs.pop("n_matmul_splits", None)
         conv_cls = _CONV_TYPES[self.layer_type]
-        layer1 = conv_cls(graph=self.graph, bn_axis_name=self.bn_axis_name, name="layer1", **kwargs)
-        layer2 = conv_cls(graph=self.graph, bn_axis_name=self.bn_axis_name, name="layer2", **kwargs)
+        layer1 = conv_cls(graph=self.graph, bn_axis_name=self.bn_axis_name,
+                          shard_cfg=self.shard_cfg, name="layer1", **kwargs)
+        layer2 = conv_cls(graph=self.graph, bn_axis_name=self.bn_axis_name,
+                          shard_cfg=self.shard_cfg, name="layer2", **kwargs)
 
         bn_kwargs = dict(self.bn_kwargs or {})
         bn_kwargs.pop("axis", None)  # (B, M, F) -> always normalize features

@@ -34,16 +34,21 @@ __all__ = [
 def ellpack_spmv(idx, val, x):
     """y = L @ x with L in padded ELLPACK form.
 
+    Unrolled over the (small, static) row width W: W gathers of (M, C) with
+    fused multiply-accumulate.  This keeps peak memory at O(M*C) instead of
+    the O(M*W*C) a materialized (M, W, C) gather would need — the deciding
+    factor at nside=1024 where M*C is already hundreds of MB.
+
     :param idx: (M, W) int32 column indices (padded entries self-point)
     :param val: (M, W) values (padded entries are 0)
     :param x: (M, C) dense activations
     :return: (M, C)
     """
-    gathered = jnp.take(x, idx, axis=0)  # (M, W, C)
-    return jnp.einsum(
-        "mw,mwc->mc", val, gathered,
-        preferred_element_type=x.dtype, precision=config.precision(),
-    )
+    W = idx.shape[1]
+    y = val[:, 0:1] * jnp.take(x, idx[:, 0], axis=0)
+    for w in range(1, W):
+        y = y + val[:, w : w + 1] * jnp.take(x, idx[:, w], axis=0)
+    return y
 
 
 def chebyshev_basis(idx, val, x, K):

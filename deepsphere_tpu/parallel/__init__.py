@@ -1,0 +1,16 @@
+from .halo import ShardedEllpack, shard_ellpack
+from .mesh import Mesh, NamedSharding, P, batch_sharding, make_mesh, replicated
+from .sharded_ops import ShardConfig, sharded_poly_conv
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "Mesh",
+    "NamedSharding",
+    "P",
+    "ShardConfig",
+    "sharded_poly_conv",
+    "ShardedEllpack",
+    "shard_ellpack",
+]

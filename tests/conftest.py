@@ -1,15 +1,24 @@
 """Test configuration: force an 8-virtual-device CPU platform so that
 multi-chip sharding paths are exercised without TPU hardware (SURVEY.md §4:
-the reference has no distributed tests; we simulate a mesh on CPU)."""
+the reference has no distributed tests; we simulate a mesh on CPU).
+
+Note: this box pins ``JAX_PLATFORMS=axon`` (tunneled TPU) and the plugin
+forces platform priority ``axon,cpu``, so the env var alone is not enough —
+we must also update the jax config after import.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
