@@ -5,6 +5,12 @@ Runs on whatever the default jax platform is (the real TPU chip under axon).
 The graph is built once with the fast O(M) grid constructor and cached to
 ``.bench_cache/`` so later rounds skip the host precompute.
 
+Measures the TPU-native **face-stencil** path (gather-free: the 8-neighbor
+graph conv as a 3x3 stencil over the 12 HEALPix faces with cross-face halo
+fill, contraction fused into the recursion — see ``deepsphere_tpu/ops/
+stencil.py``).  The ELLPACK gather path is timed alongside and reported in
+``extra`` for comparison.
+
 ``vs_baseline``: the reference repo publishes no benchmark numbers
 (BASELINE.md), so we normalize against the only published throughput trace —
 the quick_start classifier at ~0.6 s/step for batch 16 (26.7 maps/s on
@@ -26,25 +32,33 @@ BATCH = int(os.environ.get("BENCH_BATCH", 4))
 REFERENCE_MAPS_PER_SEC = 16 / 0.6  # quick_start.ipynb cell 16 output
 
 
+def _time(fn, *args, n_iters=10):
+    y = fn(*args)  # compile + warmup
+    y.block_until_ready()
+    t0 = time.time()
+    for _ in range(n_iters):
+        y = fn(*args)
+    y.block_until_ready()
+    return (time.time() - t0) / n_iters
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
-    import deepsphere_tpu as ds
     from deepsphere_tpu.graph import build_sphere_graph
     from deepsphere_tpu.ops.spmv import chebyshev_basis, graph_conv
+    from deepsphere_tpu.ops.stencil import stencil_graph_conv
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
     os.makedirs(cache, exist_ok=True)
 
     t0 = time.time()
     graph = build_sphere_graph(NSIDE, k=8, method="grid", cache_dir=cache)
-    idx_np, val_np = graph.ellpack(0.75)
+    st = graph.face_stencil(0.75)
     build_s = time.time() - t0
 
     npix = graph.n_pixels
-    idx = jnp.asarray(idx_np)
-    val = jnp.asarray(val_np)
     kernel = jnp.asarray(
         np.random.RandomState(0).normal(scale=0.1, size=(FIN * K, FOUT)), dtype=jnp.float32
     )
@@ -53,35 +67,44 @@ def main():
     )
 
     @jax.jit
-    def conv(x, kernel):
-        return graph_conv(
-            lambda x2d, nt: chebyshev_basis(idx, val, x2d, nt), x, kernel, K
-        )
+    def conv_stencil(x, kernel):
+        return stencil_graph_conv(st, x, kernel, K, "cheby")
 
-    # compile + warmup
-    y = conv(x, kernel)
-    y.block_until_ready()
-
-    n_iters = 10
-    t0 = time.time()
-    for _ in range(n_iters):
-        y = conv(x, kernel)
-    y.block_until_ready()
-    dt = (time.time() - t0) / n_iters
-
+    dt = _time(conv_stencil, x, kernel)
     maps_per_sec = BATCH / dt
+
+    extra = {
+        "step_ms": round(dt * 1e3, 2),
+        "graph_build_s": round(build_s, 1),
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+    }
+
+    if os.environ.get("BENCH_GATHER_PATH", "1") == "1":
+        idx_np, val_np = graph.ellpack(0.75)
+        idx = jnp.asarray(idx_np)
+        val = jnp.asarray(val_np)
+
+        @jax.jit
+        def conv_gather(x, kernel):
+            return graph_conv(
+                lambda x2d, nt: chebyshev_basis(idx, val, x2d, nt), x, kernel, K
+            )
+
+        try:
+            dt_g = _time(conv_gather, x, kernel, n_iters=3)
+            extra["gather_path_step_ms"] = round(dt_g * 1e3, 2)
+            extra["stencil_speedup"] = round(dt_g / dt, 2)
+        except Exception as e:  # OOM at large nside etc.
+            extra["gather_path_error"] = str(e)[:120]
+
     result = {
         "metric": f"maps/sec/chip nside={NSIDE} K={K} Chebyshev conv fwd "
                   f"(Fin={FIN} Fout={FOUT} batch={BATCH})",
         "value": round(maps_per_sec, 3),
         "unit": "maps/s",
         "vs_baseline": round(maps_per_sec / REFERENCE_MAPS_PER_SEC, 3),
-        "extra": {
-            "step_ms": round(dt * 1e3, 2),
-            "graph_build_s": round(build_s, 1),
-            "platform": jax.devices()[0].platform,
-            "device": str(jax.devices()[0]),
-        },
+        "extra": extra,
     }
     print(json.dumps(result))
 

@@ -49,19 +49,25 @@ def _grid_adjacency(nside, indices, kernel_width=None):
     (vectorized; O(M) — no tree queries).  This is the construction of the
     original DeepSphere (healpy ``get_all_neighbours``); it differs from the
     kNN graph only along face boundaries.  Full sphere only."""
+    n = len(indices)
     coords = hp.pix2vec(nside, indices, nest=True)
     nb = hp.neighbors_nest(nside, indices)  # (M, 8), -1 padded
-    rows = np.repeat(np.arange(len(indices), dtype=np.int64), 8)
-    cols = nb.reshape(-1)
-    valid = cols >= 0
-    rows, cols = rows[valid], cols[valid]
-    d = np.linalg.norm(coords[rows] - coords[cols], axis=1)
+    # per-direction distance computation keeps temporaries at O(M), not O(8M)
+    d2 = np.zeros((n, 8), dtype=np.float64)
+    for j in range(8):
+        cj = np.clip(nb[:, j], 0, n - 1)
+        diff = coords - coords[cj]
+        d2[:, j] = np.einsum("ij,ij->i", diff, diff)
+    valid = nb >= 0
     if kernel_width is None:
-        kernel_width = float(np.mean(d))
-    w = np.exp(-(d**2) / (2.0 * kernel_width**2)).astype(np.float64)
-    n = len(indices)
-    W = sparse.csr_matrix((w, (rows, cols)), shape=(n, n))
-    W = (W + W.T) / 2.0  # symmetric already; averaging dedups exactly
+        kernel_width = float(np.mean(np.sqrt(d2[valid])))
+    w = np.where(valid, np.exp(-d2 / (2.0 * kernel_width**2)), 0.0)
+
+    rows = np.repeat(np.arange(n, dtype=np.int64), 8)[valid.reshape(-1)]
+    cols = nb.reshape(-1)[valid.reshape(-1)]
+    W = sparse.csr_matrix((w[valid], (rows, cols)), shape=(n, n))
+    # the grid-neighbor relation and the chord weights are symmetric already;
+    # no symmetrization pass needed
     return W, kernel_width
 
 
@@ -111,7 +117,16 @@ def lmax_bound(L):
     try:
         from scipy.sparse.linalg import eigsh
 
-        lmax = float(eigsh(L, k=1, which="LM", return_eigenvectors=False)[0])
+        # tol=5e-3 is far below the 1.02 safety margin (same convention as
+        # pygsp's estimate_lmax) and orders of magnitude faster than
+        # ARPACK's default at large M.  The start vector must be
+        # deterministic: ARPACK's random v0 + loose tol would make lmax —
+        # and therefore every conv output — differ between two graph builds
+        # of the same sphere.
+        v0 = np.full(L.shape[0], 1.0 / np.sqrt(L.shape[0]))
+        lmax = float(
+            eigsh(L, k=1, which="LM", return_eigenvectors=False, tol=5e-3, v0=v0)[0]
+        )
     except Exception:  # pragma: no cover - tiny graphs / ARPACK breakdown
         x = np.random.RandomState(0).normal(size=L.shape[0])
         x /= np.linalg.norm(x)
@@ -193,6 +208,21 @@ class SphereGraph:
         key = round(float(scale), 12)
         if key not in self._ellpack_cache:
             self._ellpack_cache[key] = _to_ellpack(self.rescaled(scale))
+        return self._ellpack_cache[key]
+
+    def face_stencil(self, scale, n_steps=1):
+        """Stencil form of the rescaled Laplacian on the 12-face layout
+        (see :mod:`.stencil`), or ``None`` if this graph is not
+        grid-structured (partial sky / kNN edges beyond the NEST
+        8-neighborhood).  Cached per (scale, n_steps)."""
+        key = ("stencil", round(float(scale), 12), int(n_steps))
+        if key not in self._ellpack_cache:
+            from .stencil import face_stencil
+
+            try:
+                self._ellpack_cache[key] = face_stencil(self, scale, n_steps)
+            except ValueError:
+                self._ellpack_cache[key] = None
         return self._ellpack_cache[key]
 
     @property

@@ -124,6 +124,7 @@ class HealpyGCNN:
         graph_cache_dir=None,
         kernel_width=None,
         shard_cfg=None,
+        graph_method="auto",
     ):
         logger.info(
             "WARNING: This network assumes that everything concerning healpy "
@@ -143,6 +144,9 @@ class HealpyGCNN:
         self._graph_cache_dir = graph_cache_dir
         self._kernel_width = kernel_width
         self.shard_cfg = shard_cfg
+        if graph_method not in ("auto", "grid", "knn"):
+            raise ValueError(f"graph_method must be auto/grid/knn, got {graph_method}")
+        self._graph_method = graph_method
 
         # resolution scan (healpy_networks.py:51-58)
         self.reduction_fac = 1.0
@@ -219,6 +223,13 @@ class HealpyGCNN:
     def _get_graph(self, nside, indices):
         key = (nside, hash(np.ascontiguousarray(indices).tobytes()))
         if key not in self.graphs:
+            # "auto": the TPU-native grid construction (stencil-compatible,
+            # O(M) build) whenever it applies — full sphere, k=8 — else the
+            # kNN graph of the reference's pygsp backend
+            method = self._graph_method
+            if method == "auto":
+                full_sphere = len(indices) == hp.nside2npix(nside)
+                method = "grid" if (self.n_neighbors == 8 and full_sphere) else "knn"
             self.graphs[key] = build_sphere_graph(
                 nside,
                 indices,
@@ -226,6 +237,7 @@ class HealpyGCNN:
                 lap_type="normalized",
                 kernel_width=self._kernel_width,
                 cache_dir=self._graph_cache_dir,
+                method=method,
             )
         return self.graphs[key]
 

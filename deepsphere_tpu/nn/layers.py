@@ -77,6 +77,7 @@ class _GraphPolyConv(nn.Module):
     use_bn: bool = False
     bn_axis_name: Optional[str] = None
     shard_cfg: Optional[Any] = None  # parallel.ShardConfig -> halo-sharded SpMV
+    conv_method: str = "auto"  # "auto" | "stencil" | "ellpack"
 
     # subclass configuration (not dataclass fields)
     _scale: ClassVar[float] = 1.0
@@ -113,11 +114,24 @@ class _GraphPolyConv(nn.Module):
                 self._scale, self.shard_cfg,
             )
         else:
-            idx, val = self.graph.ellpack(self._scale)
-            idx = jnp.asarray(idx)
-            val = jnp.asarray(val, dtype=x.dtype)
-            basis = lambda x2d, nt: type(self)._basis(idx, val, x2d, nt)
-            y = spmv.graph_conv(basis, x, kernel, n_terms)
+            st = None
+            if self.conv_method in ("auto", "stencil"):
+                st = self.graph.face_stencil(self._scale)
+                if st is None and self.conv_method == "stencil":
+                    raise ValueError(
+                        "conv_method='stencil' requires a full-sphere "
+                        "grid-structured (k=8) graph"
+                    )
+            if st is not None:
+                from ..ops.stencil import stencil_graph_conv
+
+                y = stencil_graph_conv(st, x, kernel, n_terms, self._basis_kind)
+            else:
+                idx, val = self.graph.ellpack(self._scale)
+                idx = jnp.asarray(idx)
+                val = jnp.asarray(val, dtype=x.dtype)
+                basis = lambda x2d, nt: type(self)._basis(idx, val, x2d, nt)
+                y = spmv.graph_conv(basis, x, kernel, n_terms)
 
         if self.use_bn:
             y = _batch_norm(training, self.bn_axis_name, name="bn")(y)

@@ -1,0 +1,164 @@
+"""Gather-free graph convolution: 3x3 stencil on the 12-face HEALPix layout.
+
+This is the TPU-native fast path for the hot loop of the framework — the
+K-term polynomial graph convolution that the reference implements as K sparse
+matvecs (``/root/reference/src/deepsphere/gnn_layers.py:137-150``).  With the
+Laplacian in stencil form (:func:`~deepsphere_tpu.graph.stencil.face_stencil`)
+each Laplacian application is nine shifted multiply-adds on dense face images
+(pure VPU, no gathers), the face-border halo is refilled between applications
+from a precomputed scatter map, and the [K*Fin, Fout] contraction is folded
+into the recursion one term at a time so the K-term basis stack is never
+materialized in HBM.
+
+The only gathers left are the NEST <-> face layout permutations at the conv
+boundary (one each way), and the O(sqrt(M)) halo border fill per step.
+
+Everything here is plain jnp, so autodiff falls out for free; the fused
+Pallas kernel in :mod:`.pallas_stencil` goes further by keeping the recursion
+state in VMEM across all K steps.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from scipy.special import comb
+
+from .. import config
+from ..graph.stencil import STENCIL_OFFSETS, FaceStencil
+
+__all__ = [
+    "pad_faces",
+    "stencil_matvec",
+    "stencil_graph_conv",
+    "stencil_basis_stack",
+]
+
+
+def pad_faces(st: FaceStencil, xf, idx_arrays):
+    """(12, n, n, C) -> (12, P, P, C) with the cross-face halo filled.
+
+    ``idx_arrays`` are the device copies of (border_pos, border_src,
+    border_mask) — hoisted by the caller so they convert once per trace.
+    """
+    border_pos, border_src, border_mask = idx_arrays
+    n, s = st.nside, st.n_steps
+    P = n + 2 * s
+    C = xf.shape[-1]
+    xpad = jnp.pad(xf, ((0, 0), (s, s), (s, s), (0, 0)))
+    vals = xf.reshape(12 * n * n, C)[border_src] * border_mask[:, None].astype(xf.dtype)
+    xpad = xpad.reshape(12 * P * P, C).at[border_pos].set(vals)
+    return xpad.reshape(12, P, P, C)
+
+
+def stencil_matvec(st: FaceStencil, w, idx_arrays, xf):
+    """One application of the rescaled Laplacian: y = L~ xf.
+
+    Exact for ``st.n_steps == 1`` stencils.  ``w`` is the device copy of
+    ``st.weights`` (9, 12, n, n).
+
+    :param xf: (12, n, n, C) face-layout activations
+    :return: (12, n, n, C)
+    """
+    n, s = st.nside, st.n_steps
+    xpad = pad_faces(st, xf, idx_arrays)
+    y = w[8][..., None] * xf
+    for d, (dx, dy) in enumerate(STENCIL_OFFSETS[:8]):
+        sl = xpad[:, s + dx : s + dx + n, s + dy : s + dy + n, :]
+        y = y + w[d][..., None] * sl
+    return y
+
+
+def _term_stream(kind, matvec, x0, n_terms):
+    """Yield the polynomial basis terms one at a time (never stacked)."""
+    if kind == "cheby":
+        # T_0 = x, T_1 = Lx, T_k = 2 L T_{k-1} - T_{k-2} (gnn_layers.py:137-143)
+        yield x0
+        if n_terms > 1:
+            t_prev, t = x0, matvec(x0)
+            yield t
+            for _ in range(2, n_terms):
+                t_prev, t = t, 2.0 * matvec(t) - t_prev
+                yield t
+    elif kind == "mono":
+        # x, Lx, L^2 x, ... (gnn_layers.py:287-290)
+        t = x0
+        yield t
+        for _ in range(1, n_terms):
+            t = matvec(t)
+            yield t
+    elif kind == "bern":
+        # comb(K, i)/2^K * (2I - L)^(K-i) L^i x (gnn_layers.py:542-554)
+        K = n_terms - 1
+        power = x0
+        for i in range(K + 1):
+            theta = float(comb(K, i)) / (2.0**K)
+            y = power
+            for _ in range(K - i):
+                y = 2.0 * y - matvec(y)
+            yield theta * y
+            if i < K:
+                power = matvec(power)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown basis kind: {kind}")
+
+
+def stencil_graph_conv(st: FaceStencil, x, kernel, n_terms, kind):
+    """Fused polynomial graph conv on the face layout.
+
+    Drop-in equivalent of ``spmv.graph_conv`` (same kernel layout,
+    ``gnn_layers.py:144-150``): input/output in the reference's
+    (batch, NEST pixel, channel) contract.
+
+    :param x: (B, M, Fin)
+    :param kernel: (Fin * n_terms, Fout), Fin-major / term-minor rows
+    :return: (B, M, Fout)
+    """
+    B, M, Fin = x.shape
+    n = st.nside
+    if M != 12 * n * n:
+        raise ValueError(f"stencil conv needs the full sphere ({12*n*n} pixels), got {M}")
+    Fout = kernel.shape[-1]
+
+    w = jnp.asarray(st.weights, dtype=x.dtype)
+    idx_arrays = (
+        jnp.asarray(st.border_pos),
+        jnp.asarray(st.border_src),
+        jnp.asarray(st.border_mask),
+    )
+    n2f = jnp.asarray(st.n2f)
+    f2n = jnp.asarray(st.f2n)
+
+    x2d = jnp.transpose(x, (1, 0, 2)).reshape(M, B * Fin)
+    xf = x2d[n2f].reshape(12, n, n, B * Fin)
+
+    matvec = lambda t: stencil_matvec(st, w, idx_arrays, t)
+    wk = kernel.reshape(Fin, n_terms, Fout)
+    y = jnp.zeros((M, B, Fout), dtype=jnp.float32)
+    for k, t in enumerate(_term_stream(kind, matvec, xf, n_terms)):
+        tk = t.reshape(M, B, Fin)
+        y = y + jnp.einsum(
+            "mbf,fo->mbo", tk, wk[:, k, :].astype(t.dtype),
+            preferred_element_type=jnp.float32, precision=config.precision(),
+        )
+    y = y[f2n]  # face-flat -> NEST
+    return jnp.transpose(y, (1, 0, 2)).astype(x.dtype)
+
+
+def stencil_basis_stack(st: FaceStencil, kind, x2d, n_terms):
+    """Basis stack in NEST order, shape (n_terms, M, C) — the stencil-path
+    analogue of ``spmv.chebyshev_basis`` & co., for tests and parity checks."""
+    n = st.nside
+    M, C = x2d.shape
+    w = jnp.asarray(st.weights, dtype=x2d.dtype)
+    idx_arrays = (
+        jnp.asarray(st.border_pos),
+        jnp.asarray(st.border_src),
+        jnp.asarray(st.border_mask),
+    )
+    xf = x2d[jnp.asarray(st.n2f)].reshape(12, n, n, C)
+    matvec = lambda t: stencil_matvec(st, w, idx_arrays, t)
+    f2n = jnp.asarray(st.f2n)
+    terms = [
+        t.reshape(M, C)[f2n] for t in _term_stream(kind, matvec, xf, n_terms)
+    ]
+    return jnp.stack(terms, axis=0)
