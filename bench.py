@@ -48,7 +48,7 @@ def main():
 
     from deepsphere_tpu.graph import build_sphere_graph
     from deepsphere_tpu.ops.spmv import chebyshev_basis, graph_conv
-    from deepsphere_tpu.ops.stencil import stencil_graph_conv
+    from deepsphere_tpu.ops.stencil import stencil_graph_conv, stencil_tables
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
     os.makedirs(cache, exist_ok=True)
@@ -66,11 +66,15 @@ def main():
         np.random.RandomState(1).normal(size=(BATCH, npix, FIN)), dtype=jnp.float32
     )
 
-    @jax.jit
-    def conv_stencil(x, kernel):
-        return stencil_graph_conv(st, x, kernel, K, "cheby")
+    # graph tables enter as jit ARGUMENTS (hundreds of MB — must not be
+    # embedded into the HLO as constants)
+    st_tables = jax.device_put(stencil_tables(st))
 
-    dt = _time(conv_stencil, x, kernel)
+    @jax.jit
+    def conv_stencil(tables, x, kernel):
+        return stencil_graph_conv(st, x, kernel, K, "cheby", tables=tables)
+
+    dt = _time(conv_stencil, st_tables, x, kernel)
     maps_per_sec = BATCH / dt
 
     extra = {
@@ -82,17 +86,17 @@ def main():
 
     if os.environ.get("BENCH_GATHER_PATH", "1") == "1":
         idx_np, val_np = graph.ellpack(0.75)
-        idx = jnp.asarray(idx_np)
-        val = jnp.asarray(val_np)
+        ell = jax.device_put({"idx": idx_np, "val": val_np})
 
         @jax.jit
-        def conv_gather(x, kernel):
+        def conv_gather(ell, x, kernel):
             return graph_conv(
-                lambda x2d, nt: chebyshev_basis(idx, val, x2d, nt), x, kernel, K
+                lambda x2d, nt: chebyshev_basis(ell["idx"], ell["val"], x2d, nt),
+                x, kernel, K,
             )
 
         try:
-            dt_g = _time(conv_gather, x, kernel, n_iters=3)
+            dt_g = _time(conv_gather, ell, x, kernel, n_iters=3)
             extra["gather_path_step_ms"] = round(dt_g * 1e3, 2)
             extra["stencil_speedup"] = round(dt_g / dt, 2)
         except Exception as e:  # OOM at large nside etc.

@@ -343,8 +343,10 @@ def build_sphere_graph(
 
     if cache_path is not None:
         os.makedirs(cache_dir, exist_ok=True)
+        # atomic write: a killed process must not leave a torn cache file
+        tmp_path = cache_path + f".{os.getpid()}.tmp.npz"
         np.savez(
-            cache_path,
+            tmp_path,
             w_data=W.data,
             w_indices=W.indices,
             w_indptr=W.indptr,
@@ -355,5 +357,6 @@ def build_sphere_graph(
             kernel_width=kw_used,
             lmax=lmax,
         )
+        os.replace(tmp_path, cache_path)
         logger.info(f"Cached sphere graph to {cache_path}")
     return graph

@@ -246,13 +246,12 @@ class HealpyGCNN:
     # ------------------------------------------------------------------
 
     def init(self, rng, x, training=False):
+        # deliberately NOT jitted: init materializes the "graph_tables"
+        # collection (100s of MB at large nside), which under jit would be
+        # baked into the init HLO as constants
         if isinstance(rng, int):
             rng = jax.random.key(rng)
-        if not hasattr(self, "_jit_init"):
-            self._jit_init = jax.jit(
-                lambda r, xx: self.module.init(r, xx, training=False)
-            )
-        return self._jit_init(rng, x)
+        return self.module.init(rng, x, training=False)
 
     def apply(self, variables, x, training=False, mutable=None, rngs=None):
         if mutable is None:
@@ -320,7 +319,9 @@ class HealpyGCNN:
             pkey = self.param_key(i)
             nparams = count_params(params[pkey]) if pkey in params else 0
             rows.append((name, type(layer).__name__, shapes.get(pkey, "?"), nparams))
-        total = count_params(variables)
+        total = count_params(
+            {k: v for k, v in variables.items() if k != "graph_tables"}
+        )
         print_fn(format_summary("HealpyGCNN", rows, total))
 
     def param_key(self, index):
@@ -351,6 +352,136 @@ class HealpyGCNN:
                 if hasattr(out, "shape"):
                     shapes[key] = tuple(out.shape)
         return shapes
+
+    # ------------------------------------------------------------------
+    # filter extraction + visualization
+    # (parity with healpy_networks.py:190-385; pygsp replaced by
+    #  viz.SphericalFilterBank over the layer's own graph)
+    # ------------------------------------------------------------------
+
+    def _resolve_conv_layer(self, layer):
+        """Layer spec (index or display name) -> (index, layer instance)."""
+        if isinstance(layer, int):
+            idx = layer
+        elif isinstance(layer, str):
+            if layer not in self.layer_names:
+                raise ValueError(f"No such layer: {layer}. Layers: {self.layer_names}")
+            idx = self.layer_names.index(layer)
+        else:
+            raise ValueError("layer should be either string or int.")
+        return idx, self.layers_use[idx]
+
+    @staticmethod
+    def _coeffs_from_kernel(kernel, K, ind_in=None, ind_out=None):
+        """(Fin*K, Fout) kernel -> (K, Fout, Fin) coefficients — the reshape
+        and slicing semantics of ``_get_filter_coeffs``
+        (healpy_networks.py:190-212)."""
+        kernel = np.asarray(kernel)
+        Fout = kernel.shape[-1]
+        coeffs = kernel.reshape((-1, K, Fout)).transpose([1, 2, 0])
+        if ind_in is not None:
+            coeffs = coeffs[:, :, np.atleast_1d(ind_in)]
+        if ind_out is not None:
+            coeffs = coeffs[:, np.atleast_1d(ind_out), :]
+        return coeffs
+
+    def get_filters(self, layer, ind_in=None, ind_out=None, return_weights=False):
+        """Trained filters of a Chebyshev (or residual-of-Chebyshev) layer as
+        :class:`~deepsphere_tpu.viz.SphericalFilterBank` objects (the
+        ``get_gsp_filters`` analogue, healpy_networks.py:214-289).
+
+        :param layer: layer index or display name
+        :param return_weights: return the raw (K, Fout, Fin) coeff arrays
+        :return: list of filter banks (two for a residual layer)
+        """
+        from ..nn.layers import ChebyshevConv, ResidualLayer
+        from ..viz import SphericalFilterBank
+
+        if self.variables is None:
+            raise ValueError("Build the model first (model.build(input_shape)).")
+        idx, lyr = self._resolve_conv_layer(layer)
+        params = self.variables["params"].get(self.param_key(idx), {})
+
+        if isinstance(lyr, ResidualLayer):
+            if lyr.layer_type != "CHEBY":
+                raise ValueError(
+                    f"The requested layer ({layer}) is a residual layer of type "
+                    f"{lyr.layer_type}; only CHEBY residual layers are supported..."
+                )
+            K = dict(lyr.layer_kwargs or {}).get("K")
+            kernels = [params["layer1"]["kernel"], params["layer2"]["kernel"]]
+            graph = lyr.graph
+        elif isinstance(lyr, ChebyshevConv):
+            K = lyr.K
+            kernels = [params["kernel"]]
+            graph = lyr.graph
+        else:
+            raise ValueError(
+                f"The requested layer ({layer}) is of type {type(lyr).__name__}, "
+                f"but only ChebyshevConv or ResidualLayer layers (with CHEBY "
+                f"sublayers) are supported..."
+            )
+
+        weights = [self._coeffs_from_kernel(k, K, ind_in, ind_out) for k in kernels]
+        if return_weights:
+            return weights
+        return [SphericalFilterBank(graph, w, kind="cheby") for w in weights]
+
+    # pygsp-era name kept for drop-in compatibility
+    get_gsp_filters = get_filters
+
+    def plot_chebyshev_coeffs(self, layer, ind_in=None, ind_out=None, ax=None,
+                              title="Chebyshev coefficients - layer {}"):
+        """Scatter the Chebyshev coefficients of a layer
+        (healpy_networks.py:291-310)."""
+        import matplotlib.pyplot as plt
+
+        weights = self.get_filters(layer, ind_in, ind_out, return_weights=True)
+        if ax is None:
+            ax = plt.gca()
+        for weight in weights:
+            K, Fout, Fin = weight.shape
+            ax.plot(weight.reshape((K, Fin * Fout)), ".")
+            ax.set_title(title.format(layer))
+        return ax
+
+    def plot_filters_spectral(self, layer, ind_in=None, ind_out=None, ax=None, **kwargs):
+        """Spectral response of a layer's filters
+        (healpy_networks.py:312-329)."""
+        import matplotlib.pyplot as plt
+
+        banks = self.get_filters(layer, ind_in=ind_in, ind_out=ind_out)
+        if ax is None:
+            ax = plt.gca()
+        for bank in banks:
+            x = np.linspace(-bank.scale, bank.scale, 200)
+            resp = bank.evaluate(x)  # (Fout, Fin, n_x)
+            # plot in the unrescaled eigenvalue domain [0, lmax]
+            lam = (x / bank.scale + 1.0) * bank.graph.lmax / 2.0
+            for fo in range(resp.shape[0]):
+                for fi in range(resp.shape[1]):
+                    ax.plot(lam, resp[fo, fi], **kwargs)
+            ax.set_xlabel(r"$\lambda$")
+            ax.set_ylabel(r"$\hat{g}(\lambda)$")
+        return ax
+
+    def plot_filters_section(self, layer, ind_in=None, ind_out=None, **kwargs):
+        """Equator cross-sections of a layer's localized filters
+        (healpy_networks.py:331-357)."""
+        from ..viz import plot_filters_section as _pfs
+
+        banks = self.get_filters(layer, ind_in=ind_in, ind_out=ind_out)
+        order = banks[0].K
+        return [_pfs(bank, order=order, **kwargs) for bank in banks]
+
+    def plot_filters_gnomonic(self, layer, ind_in=None, ind_out=None, **kwargs):
+        """Gnomonic views of a layer's localized filters
+        (healpy_networks.py:359-385)."""
+        from ..viz import plot_filters_gnomonic as _pfg
+
+        banks = self.get_filters(layer, ind_in=ind_in, ind_out=ind_out)
+        order = banks[0].K
+        return [_pfg(bank, order=order, **kwargs) for bank in banks]
 
     # ------------------------------------------------------------------
     # Keras-style training surface (delegates to train.Trainer)
@@ -396,14 +527,22 @@ class HealpyGCNN:
     # ------------------------------------------------------------------
 
     def save_weights(self, path):
+        """Serialize params/batch_stats (msgpack).  The "graph_tables"
+        collection is deterministic precompute — excluded from checkpoints
+        (it would add 100s of MB at large nside)."""
         if self.variables is None:
             raise ValueError("Model has no variables yet; call build() first.")
+        state = {k: v for k, v in self.variables.items() if k != "graph_tables"}
         with open(path, "wb") as f:
-            f.write(flax.serialization.to_bytes(self.variables))
+            f.write(flax.serialization.to_bytes(state))
 
     def load_weights(self, path):
         if self.variables is None:
             raise ValueError("Build the model before loading weights.")
+        target = {k: v for k, v in self.variables.items() if k != "graph_tables"}
         with open(path, "rb") as f:
-            self.variables = flax.serialization.from_bytes(self.variables, f.read())
+            restored = flax.serialization.from_bytes(target, f.read())
+        if "graph_tables" in self.variables:
+            restored["graph_tables"] = self.variables["graph_tables"]
+        self.variables = restored
         return self.variables

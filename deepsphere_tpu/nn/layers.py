@@ -106,12 +106,22 @@ class _GraphPolyConv(nn.Module):
             init = self.initializer
         kernel = self.param("kernel", init, (Fin * n_terms, Fout), jnp.float32)
 
+        # The static graph arrays are 100s of MB at large nside: they must
+        # reach the computation as runtime arguments, NOT as jit constants
+        # (constants are baked into the HLO module).  They live in the
+        # "graph_tables" variable collection, which flax threads through
+        # ``variables`` into every apply call.
         if self.shard_cfg is not None:
+            from ..parallel.halo import shard_ellpack_cached
             from ..parallel.sharded_ops import sharded_poly_conv
 
+            op = shard_ellpack_cached(
+                self.graph, self.shard_cfg.n_pixel_shards, self._scale
+            )
+            tables = self.variable("graph_tables", "sharded", op.tables).value
             y = sharded_poly_conv(
-                self._basis_kind, self.graph, x, kernel, n_terms,
-                self._scale, self.shard_cfg,
+                self._basis_kind, op, x, kernel, n_terms, self.shard_cfg,
+                tables=tables,
             )
         else:
             st = None
@@ -123,13 +133,22 @@ class _GraphPolyConv(nn.Module):
                         "grid-structured (k=8) graph"
                     )
             if st is not None:
-                from ..ops.stencil import stencil_graph_conv
+                from ..ops.stencil import stencil_graph_conv, stencil_tables
 
-                y = stencil_graph_conv(st, x, kernel, n_terms, self._basis_kind)
+                tables = self.variable(
+                    "graph_tables", "stencil", lambda: stencil_tables(st)
+                ).value
+                y = stencil_graph_conv(
+                    st, x, kernel, n_terms, self._basis_kind, tables=tables
+                )
             else:
-                idx, val = self.graph.ellpack(self._scale)
-                idx = jnp.asarray(idx)
-                val = jnp.asarray(val, dtype=x.dtype)
+                idx_np, val_np = self.graph.ellpack(self._scale)
+                tables = self.variable(
+                    "graph_tables", "ellpack",
+                    lambda: {"idx": idx_np, "val": val_np},
+                ).value
+                idx = tables["idx"]
+                val = tables["val"].astype(x.dtype)
                 basis = lambda x2d, nt: type(self)._basis(idx, val, x2d, nt)
                 y = spmv.graph_conv(basis, x, kernel, n_terms)
 

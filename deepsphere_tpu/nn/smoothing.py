@@ -174,8 +174,14 @@ class HealpySmoothing(nn.Module):
         if M != op.n_indices:
             raise ValueError(f"Input has {M} pixels, operator expects {op.n_indices}")
 
-        idx = jnp.asarray(op.ell_idx)
-        val = jnp.asarray(op.ell_val, dtype=x.dtype)
+        # kernel arrays ride the "graph_tables" collection: runtime args
+        # through jit, never HLO constants (O(M * support) at large nside)
+        tables = self.variable(
+            "graph_tables", "smoothing",
+            lambda: {"idx": op.ell_idx, "val": op.ell_val},
+        ).value
+        idx = tables["idx"]
+        val = tables["val"].astype(x.dtype)
         x2d = jnp.transpose(x, (1, 0, 2))  # (M, B, C)
 
         reps = op.per_channel_repetitions

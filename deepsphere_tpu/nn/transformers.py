@@ -99,8 +99,13 @@ class MultiHeadAttention(nn.Module):
         if self.edges is None:
             attn, _ = scaled_dot_product_attention(q, k, v, mask)
         else:
+            # edge list rides the "graph_tables" collection so it enters jit
+            # as a runtime argument, not an HLO constant (it is O(nnz))
+            edge_idx = self.variable(
+                "graph_tables", "edges", lambda: self.edges.edge_idx
+            ).value
             attn = edge_sparse_attention(
-                q, k, v, jnp.asarray(self.edges.edge_idx), self.edges.num_nodes
+                q, k, v, edge_idx, self.edges.num_nodes
             )
 
         attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(B, S, self.d_model)

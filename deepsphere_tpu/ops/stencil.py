@@ -13,6 +13,12 @@ materialized in HBM.
 The only gathers left are the NEST <-> face layout permutations at the conv
 boundary (one each way), and the O(sqrt(M)) halo border fill per step.
 
+The static graph arrays are passed around as a ``tables`` dict (see
+:func:`stencil_tables`) so callers can route them through jit as **runtime
+arguments** — at nside=1024 the weight planes alone are ~0.5 GB, which must
+never be baked into the HLO as constants (it bloats compile time and
+overflows the remote-compile transport).
+
 Everything here is plain jnp, so autodiff falls out for free; the fused
 Pallas kernel in :mod:`.pallas_stencil` goes further by keeping the recursion
 state in VMEM across all K steps.
@@ -27,6 +33,7 @@ from .. import config
 from ..graph.stencil import STENCIL_OFFSETS, FaceStencil
 
 __all__ = [
+    "stencil_tables",
     "pad_faces",
     "stencil_matvec",
     "stencil_graph_conv",
@@ -34,33 +41,48 @@ __all__ = [
 ]
 
 
-def pad_faces(st: FaceStencil, xf, idx_arrays):
-    """(12, n, n, C) -> (12, P, P, C) with the cross-face halo filled.
+def stencil_tables(st: FaceStencil):
+    """The device-side arrays of a stencil, as a pytree dict (host numpy;
+    convert/donate at the jit boundary)."""
+    return {
+        "weights": st.weights,
+        "border_pos": st.border_pos,
+        "border_src": st.border_src,
+        "border_mask": st.border_mask,
+        "n2f": st.n2f,
+        "f2n": st.f2n,
+    }
 
-    ``idx_arrays`` are the device copies of (border_pos, border_src,
-    border_mask) — hoisted by the caller so they convert once per trace.
-    """
-    border_pos, border_src, border_mask = idx_arrays
+
+def _as_device(tables, st):
+    if tables is None:
+        tables = stencil_tables(st)
+    return {k: jnp.asarray(v) for k, v in tables.items()}
+
+
+def pad_faces(st: FaceStencil, xf, tables):
+    """(12, n, n, C) -> (12, P, P, C) with the cross-face halo filled."""
     n, s = st.nside, st.n_steps
     P = n + 2 * s
     C = xf.shape[-1]
     xpad = jnp.pad(xf, ((0, 0), (s, s), (s, s), (0, 0)))
-    vals = xf.reshape(12 * n * n, C)[border_src] * border_mask[:, None].astype(xf.dtype)
-    xpad = xpad.reshape(12 * P * P, C).at[border_pos].set(vals)
+    vals = xf.reshape(12 * n * n, C)[tables["border_src"]]
+    vals = vals * tables["border_mask"][:, None].astype(xf.dtype)
+    xpad = xpad.reshape(12 * P * P, C).at[tables["border_pos"]].set(vals)
     return xpad.reshape(12, P, P, C)
 
 
-def stencil_matvec(st: FaceStencil, w, idx_arrays, xf):
+def stencil_matvec(st: FaceStencil, tables, xf):
     """One application of the rescaled Laplacian: y = L~ xf.
 
-    Exact for ``st.n_steps == 1`` stencils.  ``w`` is the device copy of
-    ``st.weights`` (9, 12, n, n).
+    Exact for ``st.n_steps == 1`` stencils.
 
     :param xf: (12, n, n, C) face-layout activations
     :return: (12, n, n, C)
     """
     n, s = st.nside, st.n_steps
-    xpad = pad_faces(st, xf, idx_arrays)
+    w = tables["weights"].astype(xf.dtype)
+    xpad = pad_faces(st, xf, tables)
     y = w[8][..., None] * xf
     for d, (dx, dy) in enumerate(STENCIL_OFFSETS[:8]):
         sl = xpad[:, s + dx : s + dx + n, s + dy : s + dy + n, :]
@@ -102,7 +124,7 @@ def _term_stream(kind, matvec, x0, n_terms):
         raise ValueError(f"unknown basis kind: {kind}")
 
 
-def stencil_graph_conv(st: FaceStencil, x, kernel, n_terms, kind):
+def stencil_graph_conv(st: FaceStencil, x, kernel, n_terms, kind, tables=None):
     """Fused polynomial graph conv on the face layout.
 
     Drop-in equivalent of ``spmv.graph_conv`` (same kernel layout,
@@ -111,6 +133,9 @@ def stencil_graph_conv(st: FaceStencil, x, kernel, n_terms, kind):
 
     :param x: (B, M, Fin)
     :param kernel: (Fin * n_terms, Fout), Fin-major / term-minor rows
+    :param tables: device arrays from :func:`stencil_tables`; pass them
+        through the jit boundary as arguments.  ``None`` converts on the
+        spot (fine outside jit / in tests only).
     :return: (B, M, Fout)
     """
     B, M, Fin = x.shape
@@ -118,20 +143,12 @@ def stencil_graph_conv(st: FaceStencil, x, kernel, n_terms, kind):
     if M != 12 * n * n:
         raise ValueError(f"stencil conv needs the full sphere ({12*n*n} pixels), got {M}")
     Fout = kernel.shape[-1]
-
-    w = jnp.asarray(st.weights, dtype=x.dtype)
-    idx_arrays = (
-        jnp.asarray(st.border_pos),
-        jnp.asarray(st.border_src),
-        jnp.asarray(st.border_mask),
-    )
-    n2f = jnp.asarray(st.n2f)
-    f2n = jnp.asarray(st.f2n)
+    tables = _as_device(tables, st)
 
     x2d = jnp.transpose(x, (1, 0, 2)).reshape(M, B * Fin)
-    xf = x2d[n2f].reshape(12, n, n, B * Fin)
+    xf = x2d[tables["n2f"]].reshape(12, n, n, B * Fin)
 
-    matvec = lambda t: stencil_matvec(st, w, idx_arrays, t)
+    matvec = lambda t: stencil_matvec(st, tables, t)
     wk = kernel.reshape(Fin, n_terms, Fout)
     y = jnp.zeros((M, B, Fout), dtype=jnp.float32)
     for k, t in enumerate(_term_stream(kind, matvec, xf, n_terms)):
@@ -140,24 +157,19 @@ def stencil_graph_conv(st: FaceStencil, x, kernel, n_terms, kind):
             "mbf,fo->mbo", tk, wk[:, k, :].astype(t.dtype),
             preferred_element_type=jnp.float32, precision=config.precision(),
         )
-    y = y[f2n]  # face-flat -> NEST
+    y = y[tables["f2n"]]  # face-flat -> NEST
     return jnp.transpose(y, (1, 0, 2)).astype(x.dtype)
 
 
-def stencil_basis_stack(st: FaceStencil, kind, x2d, n_terms):
+def stencil_basis_stack(st: FaceStencil, kind, x2d, n_terms, tables=None):
     """Basis stack in NEST order, shape (n_terms, M, C) — the stencil-path
     analogue of ``spmv.chebyshev_basis`` & co., for tests and parity checks."""
     n = st.nside
     M, C = x2d.shape
-    w = jnp.asarray(st.weights, dtype=x2d.dtype)
-    idx_arrays = (
-        jnp.asarray(st.border_pos),
-        jnp.asarray(st.border_src),
-        jnp.asarray(st.border_mask),
-    )
-    xf = x2d[jnp.asarray(st.n2f)].reshape(12, n, n, C)
-    matvec = lambda t: stencil_matvec(st, w, idx_arrays, t)
-    f2n = jnp.asarray(st.f2n)
+    tables = _as_device(tables, st)
+    xf = x2d[tables["n2f"]].reshape(12, n, n, C)
+    matvec = lambda t: stencil_matvec(st, tables, t)
+    f2n = tables["f2n"]
     terms = [
         t.reshape(M, C)[f2n] for t in _term_stream(kind, matvec, xf, n_terms)
     ]

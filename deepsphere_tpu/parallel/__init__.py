@@ -1,4 +1,4 @@
-from .halo import ShardedEllpack, shard_ellpack
+from .halo import ShardedEllpack, shard_ellpack, shard_ellpack_cached
 from .mesh import Mesh, NamedSharding, P, batch_sharding, make_mesh, replicated
 from .sharded_ops import ShardConfig, sharded_poly_conv
 
@@ -13,4 +13,5 @@ __all__ = [
     "sharded_poly_conv",
     "ShardedEllpack",
     "shard_ellpack",
+    "shard_ellpack_cached",
 ]

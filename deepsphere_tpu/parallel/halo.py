@@ -28,7 +28,7 @@ import numpy as np
 from .. import config
 from ..graph import SphereGraph
 
-__all__ = ["ShardedEllpack", "shard_ellpack"]
+__all__ = ["ShardedEllpack", "shard_ellpack", "shard_ellpack_cached"]
 
 
 class ShardedEllpack:
@@ -63,30 +63,49 @@ class ShardedEllpack:
     def __eq__(self, other):
         return isinstance(other, ShardedEllpack) and self._key == other._key
 
+    def tables(self):
+        """The device-side arrays as a pytree dict — route these through the
+        jit boundary as runtime arguments (NOT closure constants: they are
+        100s of MB at large nside)."""
+        return {
+            "local_idx": self.local_idx,
+            "val": self.val,
+            "boundary": self.boundary,
+        }
+
     # ------------------------------------------------------------------
-    # device-side ops (call inside shard_map with x_local (m, C))
+    # device-side ops (call inside shard_map with x_local (m, C) and the
+    # shard-local slices of tables())
     # ------------------------------------------------------------------
 
-    def gather_halo(self, x_local, axis_name):
-        """all_gather this shard's boundary rows -> (S*H, C) buffer."""
-        s = jax.lax.axis_index(axis_name)
-        bnd = jnp.asarray(self.boundary)[s]  # (H,)
-        send = jnp.take(x_local, bnd, axis=0)  # (H, C)
+    @staticmethod
+    def spmv(x_local, axis_name, tables):
+        """Local rows of L @ x given the sharded x (one halo exchange).
+
+        ``tables`` holds this shard's slices: local_idx (m, W), val (m, W),
+        boundary (H,).
+        """
+        send = jnp.take(x_local, tables["boundary"], axis=0)  # (H, C)
         buf = jax.lax.all_gather(send, axis_name, axis=0, tiled=True)  # (S*H, C)
-        return buf
-
-    def spmv(self, x_local, axis_name):
-        """Local rows of L @ x given the sharded x (one halo exchange)."""
-        s = jax.lax.axis_index(axis_name)
-        buf = self.gather_halo(x_local, axis_name)
         x_aug = jnp.concatenate([x_local, buf], axis=0)  # (m + S*H, C)
-        idx = jnp.asarray(self.local_idx)[s]
-        val = jnp.asarray(self.val, dtype=x_local.dtype)[s]
+        idx = tables["local_idx"]
+        val = tables["val"].astype(x_local.dtype)
         W = idx.shape[1]
         y = val[:, 0:1] * jnp.take(x_aug, idx[:, 0], axis=0)
         for w in range(1, W):
             y = y + val[:, w : w + 1] * jnp.take(x_aug, idx[:, w], axis=0)
         return y
+
+
+def shard_ellpack_cached(graph: SphereGraph, n_shards: int, scale: float) -> ShardedEllpack:
+    """Per-graph memoized :func:`shard_ellpack`."""
+    cache = getattr(graph, "_sharded_cache", None)
+    if cache is None:
+        cache = graph._sharded_cache = {}
+    key = (n_shards, round(float(scale), 12))
+    if key not in cache:
+        cache[key] = shard_ellpack(graph, n_shards, scale)
+    return cache[key]
 
 
 def shard_ellpack(graph: SphereGraph, n_shards: int, scale: float) -> ShardedEllpack:

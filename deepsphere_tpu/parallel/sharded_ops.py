@@ -20,7 +20,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from .. import config
-from .halo import ShardedEllpack, shard_ellpack
+from .halo import ShardedEllpack
 
 __all__ = ["ShardConfig", "sharded_poly_conv"]
 
@@ -39,24 +39,24 @@ class ShardConfig:
         return self.mesh.shape[self.pixel_axis]
 
 
-def _basis_stack(kind, op: ShardedEllpack, x2d, n_terms, axis_name):
+def _basis_stack(kind, spmv, x2d, n_terms):
     """Polynomial basis recursions on the local (m, C) block; each L
     application does one halo exchange."""
     if kind == "cheby":
         stack = [x2d]
         if n_terms > 1:
-            x1 = op.spmv(x2d, axis_name)
+            x1 = spmv(x2d)
             stack.append(x1)
             x0 = x2d
             for _ in range(2, n_terms):
-                x2 = 2.0 * op.spmv(x1, axis_name) - x0
+                x2 = 2.0 * spmv(x1) - x0
                 stack.append(x2)
                 x0, x1 = x1, x2
         return stack
     if kind == "mono":
         stack = [x2d]
         for _ in range(1, n_terms):
-            stack.append(op.spmv(stack[-1], axis_name))
+            stack.append(spmv(stack[-1]))
         return stack
     if kind == "bern":
         from scipy.special import comb
@@ -64,46 +64,46 @@ def _basis_stack(kind, op: ShardedEllpack, x2d, n_terms, axis_name):
         K = n_terms - 1
         powers = [x2d]
         for _ in range(K):
-            powers.append(op.spmv(powers[-1], axis_name))
+            powers.append(spmv(powers[-1]))
         stack = []
         for i in range(n_terms):
             theta = float(comb(K, i)) / (2.0**K)
             y = powers[i]
             for _ in range(K - i):
-                y = 2.0 * y - op.spmv(y, axis_name)
+                y = 2.0 * y - spmv(y)
             stack.append(theta * y)
         return stack
     raise ValueError(f"unknown basis kind {kind}")
 
 
-def sharded_poly_conv(kind, graph, x, kernel, n_terms, scale, cfg: ShardConfig):
+def sharded_poly_conv(kind, op: ShardedEllpack, x, kernel, n_terms,
+                      cfg: ShardConfig, tables=None):
     """Pixel-sharded polynomial graph conv: x (B, M, Fin) -> (B, M, Fout).
 
-    ``graph`` is a :class:`~deepsphere_tpu.graph.SphereGraph`; its sharded
-    ELLPACK form is precomputed and cached per (n_shards, scale).
+    ``op`` is the precomputed :class:`~.halo.ShardedEllpack`; ``tables``
+    its arrays (``op.tables()``), passed separately so they enter the
+    computation as runtime arguments, not HLO constants.
     """
-    cache = getattr(graph, "_sharded_cache", None)
-    if cache is None:
-        cache = graph._sharded_cache = {}
-    key = (cfg.n_pixel_shards, round(float(scale), 12))
-    if key not in cache:
-        cache[key] = shard_ellpack(graph, cfg.n_pixel_shards, scale)
-    op = cache[key]
+    if tables is None:
+        tables = op.tables()
 
     da, pa = cfg.data_axis, cfg.pixel_axis
     Fout = kernel.shape[-1]
+    table_specs = {"local_idx": P(pa), "val": P(pa), "boundary": P(pa)}
 
     @partial(
         shard_map,
         mesh=cfg.mesh,
-        in_specs=(P(da, pa, None), P()),
+        in_specs=(P(da, pa, None), P(), table_specs),
         out_specs=P(da, pa, None),
         check_vma=False,
     )
-    def conv(x_local, kernel_rep):
+    def conv(x_local, kernel_rep, tbl):
+        tbl = {k: v[0] for k, v in tbl.items()}  # drop the shard axis
         B, m, Fin = x_local.shape
         x2d = jnp.transpose(x_local, (1, 0, 2)).reshape(m, B * Fin)
-        stack = _basis_stack(kind, op, x2d, n_terms, pa)
+        spmv = lambda t: ShardedEllpack.spmv(t, pa, tbl)
+        stack = _basis_stack(kind, spmv, x2d, n_terms)
         tx = jnp.stack(stack, axis=0).reshape(n_terms, m, B, Fin)
         tx = jnp.transpose(tx, (2, 1, 3, 0)).reshape(B * m, Fin * n_terms)
         y = jnp.dot(
@@ -112,4 +112,5 @@ def sharded_poly_conv(kind, graph, x, kernel, n_terms, scale, cfg: ShardConfig):
         )
         return y.reshape(B, m, Fout).astype(x_local.dtype)
 
-    return conv(x, kernel)
+    tables = {k: jnp.asarray(v) for k, v in tables.items()}
+    return conv(x, kernel, tables)

@@ -51,9 +51,22 @@ def binary_crossentropy(y_true, y_pred, from_logits=False):
     return -jnp.mean(y_true * jnp.log(p) + (1 - y_true) * jnp.log(1 - p))
 
 
+def _from_logits(fn):
+    def wrapped(y_true, y_pred):
+        return fn(y_true, y_pred, from_logits=True)
+
+    wrapped.__name__ = fn.__name__ + "_from_logits"
+    return wrapped
+
+
 _LOSSES = {
     "sparse_categorical_crossentropy": sparse_categorical_crossentropy,
+    "sparse_categorical_crossentropy_from_logits": _from_logits(
+        sparse_categorical_crossentropy
+    ),
     "categorical_crossentropy": categorical_crossentropy,
+    "categorical_crossentropy_from_logits": _from_logits(categorical_crossentropy),
+    "binary_crossentropy_from_logits": _from_logits(binary_crossentropy),
     "mse": mean_squared_error,
     "mean_squared_error": mean_squared_error,
     "mae": mean_absolute_error,

@@ -76,7 +76,10 @@ class Trainer:
             if self.model.variables is None:
                 raise ValueError("Build the model first (model.build(input_shape)).")
             variables = self.model.variables
-        params, batch_stats, _ = self._split_variables(variables)
+        params, batch_stats, rest = self._split_variables(variables)
+        # static collections (e.g. "graph_tables": precomputed graph arrays)
+        # are not trained but must ride along into every apply call
+        self._static_collections = rest
         self.state = TrainState(
             params=params,
             batch_stats=batch_stats,
@@ -86,7 +89,8 @@ class Trainer:
         return self.state
 
     def _variables(self, params, batch_stats):
-        v = {"params": params}
+        v = dict(getattr(self, "_static_collections", None) or {})
+        v["params"] = params
         if batch_stats:
             v["batch_stats"] = batch_stats
         return v
@@ -95,9 +99,10 @@ class Trainer:
         module, loss_fn, optimizer = self.module, self.loss_fn, self.optimizer
         metric_fns = self.metric_fns
 
-        def train_step(params, batch_stats, opt_state, x, y):
+        def train_step(params, batch_stats, static, opt_state, x, y):
             def compute_loss(p):
-                variables = {"params": p}
+                variables = dict(static)
+                variables["params"] = p
                 if batch_stats:
                     variables["batch_stats"] = batch_stats
                 out = module.apply(variables, x, training=True, mutable=["batch_stats"])
@@ -120,8 +125,9 @@ class Trainer:
         module, loss_fn = self.module, self.loss_fn
         metric_fns = self.metric_fns
 
-        def eval_step(params, batch_stats, x, y):
-            variables = {"params": params}
+        def eval_step(params, batch_stats, static, x, y):
+            variables = dict(static)
+            variables["params"] = params
             if batch_stats:
                 variables["batch_stats"] = batch_stats
             y_pred = module.apply(variables, x, training=False)
@@ -145,7 +151,8 @@ class Trainer:
             self.init_state()
         s = self.state
         params, stats, opt_state, logs = self._train_step(
-            s.params, s.batch_stats, s.opt_state, self._place(x), self._place(y)
+            s.params, s.batch_stats, self._static_collections, s.opt_state,
+            self._place(x), self._place(y)
         )
         self.state = TrainState(params, stats, opt_state, s.step + 1)
         return {k: float(v) for k, v in logs.items()}
@@ -154,6 +161,7 @@ class Trainer:
         if self.state is None:
             self.init_state()
         logs = self._eval_step(self.state.params, self.state.batch_stats,
+                               self._static_collections,
                                self._place(x), self._place(y))
         return {k: float(v) for k, v in logs.items()}
 

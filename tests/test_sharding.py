@@ -9,7 +9,18 @@ import pytest
 
 from deepsphere_tpu.graph import build_sphere_graph
 from deepsphere_tpu.ops.spmv import chebyshev_basis, graph_conv
-from deepsphere_tpu.parallel import ShardConfig, make_mesh, shard_ellpack, sharded_poly_conv
+from deepsphere_tpu.parallel import (
+    ShardConfig,
+    make_mesh,
+    shard_ellpack,
+    shard_ellpack_cached,
+    sharded_poly_conv,
+)
+
+
+def _sharded_conv(kind, graph, x, kernel, n_terms, scale, cfg):
+    op = shard_ellpack_cached(graph, cfg.n_pixel_shards, scale)
+    return sharded_poly_conv(kind, op, x, kernel, n_terms, cfg)
 
 pytestmark = pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 virtual devices"
@@ -33,12 +44,15 @@ def test_shard_ellpack_spmv_matches_dense(graph, rng):
     M = graph.n_pixels
     x = rng.normal(size=(M, 6)).astype(np.float32)
 
-    @partial(shard_map, mesh=mesh, in_specs=P("pixel", None),
-             out_specs=P("pixel", None), check_vma=False)
-    def f(x_local):
-        return op.spmv(x_local, "pixel")
+    table_specs = {"local_idx": P("pixel"), "val": P("pixel"), "boundary": P("pixel")}
 
-    got = np.asarray(f(jnp.asarray(x)))
+    @partial(shard_map, mesh=mesh, in_specs=(P("pixel", None), table_specs),
+             out_specs=P("pixel", None), check_vma=False)
+    def f(x_local, tbl):
+        return op.spmv(x_local, "pixel", {k: v[0] for k, v in tbl.items()})
+
+    tables = {k: jnp.asarray(v) for k, v in op.tables().items()}
+    got = np.asarray(f(jnp.asarray(x), tables))
     want = graph.rescaled(0.75) @ x
     assert np.allclose(got, want, atol=1e-5)
 
@@ -54,7 +68,7 @@ def test_sharded_poly_conv_matches_unsharded(graph, rng, kind, n_terms, scale):
     kernel = rng.normal(size=(Fin * n_terms, Fout)).astype(np.float32)
 
     got = np.asarray(
-        sharded_poly_conv(kind, graph, jnp.asarray(x), jnp.asarray(kernel), n_terms, scale, cfg)
+        _sharded_conv(kind, graph, jnp.asarray(x), jnp.asarray(kernel), n_terms, scale, cfg)
     )
 
     from deepsphere_tpu.ops import spmv as spmv_mod
@@ -81,7 +95,7 @@ def test_sharded_conv_gradients_match(graph, rng):
     kernel = jnp.asarray(rng.normal(size=(Fin * K, Fout)).astype(np.float32))
 
     def loss_sharded(kernel):
-        return jnp.sum(sharded_poly_conv("cheby", graph, x, kernel, K, 0.75, cfg) ** 2)
+        return jnp.sum(_sharded_conv("cheby", graph, x, kernel, K, 0.75, cfg) ** 2)
 
     idx, val = graph.ellpack(0.75)
 

@@ -68,14 +68,11 @@ def test_stencil_matvec_matches_scipy(rng):
     x = rng.normal(size=(g.n_pixels, 3)).astype(np.float32)
     y_ref = L @ x
 
-    w = jnp.asarray(st.weights)
-    idx_arrays = (
-        jnp.asarray(st.border_pos),
-        jnp.asarray(st.border_src),
-        jnp.asarray(st.border_mask),
-    )
-    xf = jnp.asarray(x)[jnp.asarray(st.n2f)].reshape(12, nside, nside, 3)
-    yf = stencil_matvec(st, w, idx_arrays, xf)
+    from deepsphere_tpu.ops.stencil import stencil_tables
+
+    tables = {k: jnp.asarray(v) for k, v in stencil_tables(st).items()}
+    xf = jnp.asarray(x)[tables["n2f"]].reshape(12, nside, nside, 3)
+    yf = stencil_matvec(st, tables, xf)
     y = np.asarray(yf.reshape(-1, 3))[st.f2n]
     np.testing.assert_allclose(y, y_ref, atol=1e-5)
 
@@ -170,9 +167,13 @@ def test_conv_layer_uses_stencil_path(rng):
     x = jnp.asarray(rng.normal(size=(2, g.n_pixels, 3)), jnp.float32)
     layer_a = ChebyshevConv(graph=g, K=4, Fout=5, conv_method="auto")
     layer_e = ChebyshevConv(graph=g, K=4, Fout=5, conv_method="ellpack")
-    v = layer_a.init(jax.random.key(0), x)
-    ya = layer_a.apply(v, x)
-    ye = layer_e.apply(v, x)
+    va = layer_a.init(jax.random.key(0), x)
+    ve = layer_e.init(jax.random.key(0), x)
+    assert "stencil" in va["graph_tables"]  # auto picked the stencil path
+    assert "ellpack" in ve["graph_tables"]
+    ve = {**ve, "params": va["params"]}  # same weights through both paths
+    ya = layer_a.apply(va, x)
+    ye = layer_e.apply(ve, x)
     np.testing.assert_allclose(np.asarray(ya), np.asarray(ye), atol=1e-4)
     assert g.face_stencil(0.75) is not None
 
