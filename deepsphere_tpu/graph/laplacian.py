@@ -214,15 +214,21 @@ class SphereGraph:
         """Stencil form of the rescaled Laplacian on the 12-face layout
         (see :mod:`.stencil`), or ``None`` if this graph is not
         grid-structured (partial sky / kNN edges beyond the NEST
-        8-neighborhood).  Cached per (scale, n_steps)."""
+        8-neighborhood).  Memoized per (scale, n_steps) and disk-cached
+        next to the graph cache when one is configured."""
         key = ("stencil", round(float(scale), 12), int(n_steps))
         if key not in self._ellpack_cache:
-            from .stencil import face_stencil
+            from .stencil import face_stencil, load_stencil_cache, save_stencil_cache
 
-            try:
-                self._ellpack_cache[key] = face_stencil(self, scale, n_steps)
-            except ValueError:
-                self._ellpack_cache[key] = None
+            cache_dir = getattr(self, "_cache_dir", None)
+            st = load_stencil_cache(self, scale, n_steps, cache_dir)
+            if st is None:
+                try:
+                    st = face_stencil(self, scale, n_steps)
+                    save_stencil_cache(st, self, cache_dir)
+                except ValueError:
+                    st = None
+            self._ellpack_cache[key] = st
         return self._ellpack_cache[key]
 
     @property
@@ -300,7 +306,7 @@ def build_sphere_graph(
                 (z["l_data"], z["l_indices"], z["l_indptr"]), shape=tuple(z["shape"])
             )
             logger.info(f"Loaded cached sphere graph from {cache_path}")
-            return SphereGraph(
+            g = SphereGraph(
                 nside=nside,
                 indices=indices,
                 k=k,
@@ -310,6 +316,8 @@ def build_sphere_graph(
                 A=W,
                 lmax=float(z["lmax"]),
             )
+            g._cache_dir = cache_dir
+            return g
 
     if method == "grid":
         if k != 8:
@@ -340,6 +348,7 @@ def build_sphere_graph(
         A=W,
         lmax=lmax,
     )
+    graph._cache_dir = cache_dir
 
     if cache_path is not None:
         os.makedirs(cache_dir, exist_ok=True)

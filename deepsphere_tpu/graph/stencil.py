@@ -38,7 +38,13 @@ from ..sphere import healpix as hp
 from ..sphere.faces import face2nest_index, halo_map
 from ..sphere.healpix import _NB_XOFFSET, _NB_YOFFSET
 
-__all__ = ["FaceStencil", "face_stencil", "STENCIL_OFFSETS"]
+__all__ = [
+    "FaceStencil",
+    "face_stencil",
+    "STENCIL_OFFSETS",
+    "load_stencil_cache",
+    "save_stencil_cache",
+]
 
 # (dx, dy) per weight plane; plane 8 is the center/diagonal term
 STENCIL_OFFSETS = [(int(x), int(y)) for x, y in zip(_NB_XOFFSET, _NB_YOFFSET)] + [(0, 0)]
@@ -46,15 +52,28 @@ STENCIL_OFFSETS = [(int(x), int(y)) for x, y in zip(_NB_XOFFSET, _NB_YOFFSET)] +
 
 @dataclass(eq=False)
 class FaceStencil:
-    """Static stencil-form Laplacian for ``n_steps`` fused applications."""
+    """Static stencil-form Laplacian for ``n_steps`` fused applications.
+
+    The halo fill is stored as four *strip* gathers (west/east strips span
+    the full padded width including corners; south/north cover the rest).
+    Strips land in the padded array via static-slice updates
+    (``dynamic_update_slice``) — TPU executes those at full bandwidth,
+    whereas an index scatter serializes.
+    """
 
     nside: int
     n_steps: int  # halo (pad) depth; weights cover positions of depth <= n_steps-1
     scale: float
     weights: np.ndarray  # (9, 12, Pw, Pw) f32, Pw = nside + 2*(n_steps-1)
-    border_pos: np.ndarray  # (Nb,) int32 flat positions in 12*P*P, P = nside+2*n_steps
-    border_src: np.ndarray  # (Nb,) int32 face-flat (12*n*n) source rows, clamped
-    border_mask: np.ndarray  # (Nb,) f32 — 0 where no pixel exists
+    # halo strips: face-flat (12*n*n) source rows (clamped) + 0/1 masks
+    west_src: np.ndarray  # (12, s, P) int32, P = nside + 2*n_steps
+    west_mask: np.ndarray  # (12, s, P) f32
+    east_src: np.ndarray  # (12, s, P) int32
+    east_mask: np.ndarray
+    south_src: np.ndarray  # (12, n, s) int32
+    south_mask: np.ndarray
+    north_src: np.ndarray  # (12, n, s) int32
+    north_mask: np.ndarray
     n2f: np.ndarray  # (12*n*n,) int32: NEST id at each face-flat position
     f2n: np.ndarray  # (npix,) int32: face-flat position of each NEST pixel
     corrupt_rows: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
@@ -67,6 +86,72 @@ class FaceStencil:
     @property
     def weights_width(self):
         return self.nside + 2 * (self.n_steps - 1)
+
+
+def _stencil_cache_path(graph, scale, n_steps, cache_dir):
+    if cache_dir is None:
+        return None
+    import os
+
+    h = getattr(graph, "_key", None)
+    if h is None:
+        return None
+    tag = "-".join(str(p) for p in h)
+    return os.path.join(
+        cache_dir, f"face_stencil-{tag}-s{scale:.6g}-n{n_steps}.npz"
+    )
+
+
+def load_stencil_cache(graph, scale, n_steps, cache_dir):
+    """Load a disk-cached stencil (None on miss).  Keyed by the graph's
+    content key + (scale, n_steps), mirroring the reference smoothing
+    layer's kernel cache (``healpy_layers.py:652-662``)."""
+    import os
+
+    path = _stencil_cache_path(graph, scale, n_steps, cache_dir)
+    if path is None or not os.path.exists(path):
+        return None
+    z = np.load(path)
+    fields = [
+        "weights", "west_src", "west_mask", "east_src", "east_mask",
+        "south_src", "south_mask", "north_src", "north_mask",
+        "n2f", "f2n", "corrupt_rows",
+    ]
+    if not all(f in z for f in fields):  # stale cache from an older layout
+        return None
+    return FaceStencil(
+        nside=int(z["nside"]),
+        n_steps=int(n_steps),
+        scale=float(scale),
+        **{f: z[f] for f in fields},
+    )
+
+
+def save_stencil_cache(st, graph, cache_dir):
+    import os
+
+    path = _stencil_cache_path(graph, st.scale, st.n_steps, cache_dir)
+    if path is None:
+        return
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = path + f".{os.getpid()}.tmp.npz"
+    np.savez(
+        tmp,
+        nside=np.asarray(st.nside),
+        weights=st.weights,
+        west_src=st.west_src,
+        west_mask=st.west_mask,
+        east_src=st.east_src,
+        east_mask=st.east_mask,
+        south_src=st.south_src,
+        south_mask=st.south_mask,
+        north_src=st.north_src,
+        north_mask=st.north_mask,
+        n2f=st.n2f,
+        f2n=st.f2n,
+        corrupt_rows=st.corrupt_rows,
+    )
+    os.replace(tmp, path)
 
 
 def _lookup_entries(ell_idx, ell_val, rows, cols, chunk=1 << 20):
@@ -162,16 +247,20 @@ def face_stencil(graph, scale, n_steps=1):
             frontier = nxt
         corrupt_rows = np.fromiter(sorted(reach), dtype=np.int64)
 
-    # border fill maps for a depth-n_steps pad
-    P = nside + 2 * n_steps
-    hmP = halo_map(nside, n_steps)
-    is_border = np.ones((12, P, P), dtype=bool)
-    is_border[:, n_steps : n_steps + nside, n_steps : n_steps + nside] = False
-    border_pos = np.flatnonzero(is_border.reshape(-1)).astype(np.int32)
-    src_pix = hmP.reshape(-1)[border_pos]
-    border_mask = (src_pix >= 0).astype(np.float32)
+    # halo strip maps for a depth-n_steps pad (regular slices, not scatter)
+    s = n_steps
+    hmP = halo_map(nside, s)
     f2n = face2nest_index(nside)
-    border_src = f2n[np.clip(src_pix, 0, npix - 1)].astype(np.int32)
+
+    def strip(pix):
+        mask = (pix >= 0).astype(np.float32)
+        src = f2n[np.clip(pix, 0, npix - 1)].astype(np.int32)
+        return src, mask
+
+    west_src, west_mask = strip(hmP[:, :s, :])  # (12, s, P)
+    east_src, east_mask = strip(hmP[:, s + nside :, :])  # (12, s, P)
+    south_src, south_mask = strip(hmP[:, s : s + nside, :s])  # (12, n, s)
+    north_src, north_mask = strip(hmP[:, s : s + nside, s + nside :])  # (12, n, s)
 
     n2f = halo_map(nside, 0).reshape(-1).astype(np.int32)
 
@@ -180,9 +269,14 @@ def face_stencil(graph, scale, n_steps=1):
         n_steps=n_steps,
         scale=float(scale),
         weights=weights.reshape(9, 12, Pw, Pw),
-        border_pos=border_pos,
-        border_src=border_src,
-        border_mask=border_mask,
+        west_src=west_src,
+        west_mask=west_mask,
+        east_src=east_src,
+        east_mask=east_mask,
+        south_src=south_src,
+        south_mask=south_mask,
+        north_src=north_src,
+        north_mask=north_mask,
         n2f=n2f,
         f2n=f2n.astype(np.int32),
         corrupt_rows=corrupt_rows,

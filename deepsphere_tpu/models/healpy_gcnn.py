@@ -125,6 +125,7 @@ class HealpyGCNN:
         kernel_width=None,
         shard_cfg=None,
         graph_method="auto",
+        internal_layout="auto",
     ):
         logger.info(
             "WARNING: This network assumes that everything concerning healpy "
@@ -213,8 +214,74 @@ class HealpyGCNN:
                 self.layers_use.append(layer)
             self.layer_names.append(_layer_display_name(self.layers_use[-1], counters))
 
-        self.module = SequentialModel(layers=tuple(self.layers_use))
+        self._plan_internal_layout(internal_layout)
+        self.module = SequentialModel(layers=tuple(self._module_layers))
         self.variables = None
+
+    def _plan_internal_layout(self, internal_layout):
+        """Run as much of the model as possible in the face layout.
+
+        The NEST pixel axis is a Morton permutation of 12 (nside, nside)
+        face images (see :mod:`..ops.layout`).  Stencil-path convs, pooling
+        and pseudo-convs all operate natively on face images — running them
+        in face layout removes every per-layer permutation from the hot
+        path; the assembler inserts a single NestToFace/FaceToNest pair at
+        each boundary.  Weight/checkpoint layout is unchanged (params are
+        stored in NEST tap order in both modes).
+        """
+        from ..nn.layers import (
+            FaceToNest,
+            NestToFace,
+            ResidualLayer,
+            _GraphPolyConv,
+        )
+
+        def face_version(layer):
+            if internal_layout == "nest":
+                return None
+            if isinstance(layer, _GraphPolyConv):
+                if (
+                    layer.shard_cfg is None
+                    and layer.conv_method in ("auto", "stencil")
+                    and layer.graph.face_stencil(layer._scale) is not None
+                ):
+                    return layer.clone(layout="face")
+                return None
+            if isinstance(layer, ResidualLayer):
+                conv_cls = {"CHEBY": 0.75, "MONO": 1.0}
+                if (
+                    layer.shard_cfg is None
+                    and layer.layer_type in conv_cls
+                    and layer.graph.face_stencil(conv_cls[layer.layer_type]) is not None
+                ):
+                    return layer.clone(layout="face")
+                return None
+            return None  # pool/pseudo handled below (stay-in-face only)
+
+        stay_in_face = (HealpyPool, HealpyPseudoConv, HealpyPseudoConv_Transpose)
+
+        self._module_layers = []
+        self._module_index = []
+        in_face = False
+        for i, layer in enumerate(self.layers_use):
+            fc = face_version(layer)
+            if fc is not None:
+                if not in_face:
+                    self._module_layers.append(NestToFace())
+                    in_face = True
+                actual = fc
+            elif in_face and isinstance(layer, stay_in_face):
+                actual = layer.clone(layout="face")
+            else:
+                if in_face:
+                    self._module_layers.append(FaceToNest())
+                    in_face = False
+                actual = layer
+            self._module_layers.append(actual)
+            self._module_index.append(len(self._module_layers) - 1)
+            self.layers_use[i] = actual
+        if in_face:
+            self._module_layers.append(FaceToNest())
 
     # ------------------------------------------------------------------
     # graph bookkeeping
@@ -325,9 +392,10 @@ class HealpyGCNN:
         print_fn(format_summary("HealpyGCNN", rows, total))
 
     def param_key(self, index):
-        """The flax submodule key for the layer at ``index`` (children of the
-        ``layers`` tuple field are named ``layers_<i>``)."""
-        return f"layers_{index}"
+        """The flax submodule key for the user layer at ``index`` (children
+        of the ``layers`` tuple are named ``layers_<module idx>``; layout
+        converters inserted by the assembler shift module indices)."""
+        return f"layers_{self._module_index[index]}"
 
     def _layer_output_shapes(self, input_shape):
         """Map flax submodule key -> output shape via a shape-only trace."""

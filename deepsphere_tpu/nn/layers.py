@@ -34,6 +34,8 @@ import numpy as np
 from .. import config
 from ..graph import SphereGraph
 from ..ops import spmv
+from ..ops.layout import face_to_nest, nest_to_face, nside_of_axis
+from ..sphere.healpix import _spread_bits
 from ..utils import resolve_activation
 
 __all__ = [
@@ -46,9 +48,41 @@ __all__ = [
     "HealpyPseudoConv_Transpose",
     "Flatten",
     "Dense",
+    "NestToFace",
+    "FaceToNest",
 ]
 
 Dtype = Any
+
+
+def _raster_to_morton_taps(p):
+    """Tap permutation between the two block orderings of a 2^p x 2^p NEST
+    parent block: entry j (raster dx*2^p + dy) gives the NEST child index
+    (Morton interleave).  Reordering kernel taps with this makes face-layout
+    pooling convs numerically identical to their NEST-layout form, so
+    checkpoints are layout-independent."""
+    sp = 2**p
+    j = np.arange(sp * sp, dtype=np.int64)
+    dx, dy = j // sp, j % sp
+    return np.asarray(_spread_bits(dx) | (_spread_bits(dy) << 1), dtype=np.int64)
+
+
+class NestToFace(nn.Module):
+    """Reorder the pixel axis from NEST to face-flat [f, x, y] (dense Morton
+    transposes, no gather).  Inserted by the model assembler at the NEST ->
+    face-layout boundary."""
+
+    @nn.compact
+    def __call__(self, x, training=False):
+        return nest_to_face(x)
+
+
+class FaceToNest(nn.Module):
+    """Inverse of :class:`NestToFace`."""
+
+    @nn.compact
+    def __call__(self, x, training=False):
+        return face_to_nest(x)
 
 
 def _batch_norm(training, axis_name, name=None):
@@ -78,6 +112,8 @@ class _GraphPolyConv(nn.Module):
     bn_axis_name: Optional[str] = None
     shard_cfg: Optional[Any] = None  # parallel.ShardConfig -> halo-sharded SpMV
     conv_method: str = "auto"  # "auto" | "stencil" | "ellpack"
+    layout: str = "nest"  # pixel-axis ordering of inputs/outputs; "face"
+    # requires the stencil path and skips all boundary permutations
 
     # subclass configuration (not dataclass fields)
     _scale: ClassVar[float] = 1.0
@@ -132,6 +168,11 @@ class _GraphPolyConv(nn.Module):
                         "conv_method='stencil' requires a full-sphere "
                         "grid-structured (k=8) graph"
                     )
+            if st is None and self.layout == "face":
+                raise ValueError(
+                    "layout='face' requires the stencil path (full-sphere "
+                    "grid graph)"
+                )
             if st is not None:
                 from ..ops.stencil import stencil_graph_conv, stencil_tables
 
@@ -139,7 +180,8 @@ class _GraphPolyConv(nn.Module):
                     "graph_tables", "stencil", lambda: stencil_tables(st)
                 ).value
                 y = stencil_graph_conv(
-                    st, x, kernel, n_terms, self._basis_kind, tables=tables
+                    st, x, kernel, n_terms, self._basis_kind, tables=tables,
+                    layout=self.layout,
                 )
             else:
                 idx_np, val_np = self.graph.ellpack(self._scale)
@@ -222,6 +264,7 @@ class ResidualLayer(nn.Module):
     alpha: float = 1.0
     bn_axis_name: Optional[str] = None
     shard_cfg: Optional[Any] = None
+    layout: str = "nest"
 
     def __post_init__(self):
         super().__post_init__()
@@ -239,9 +282,11 @@ class ResidualLayer(nn.Module):
         kwargs.pop("n_matmul_splits", None)
         conv_cls = _CONV_TYPES[self.layer_type]
         layer1 = conv_cls(graph=self.graph, bn_axis_name=self.bn_axis_name,
-                          shard_cfg=self.shard_cfg, name="layer1", **kwargs)
+                          shard_cfg=self.shard_cfg, layout=self.layout,
+                          name="layer1", **kwargs)
         layer2 = conv_cls(graph=self.graph, bn_axis_name=self.bn_axis_name,
-                          shard_cfg=self.shard_cfg, name="layer2", **kwargs)
+                          shard_cfg=self.shard_cfg, layout=self.layout,
+                          name="layer2", **kwargs)
 
         bn_kwargs = dict(self.bn_kwargs or {})
         bn_kwargs.pop("axis", None)  # (B, M, F) -> always normalize features
@@ -278,6 +323,7 @@ class HealpyPool(nn.Module):
 
     p: int
     pool_type: str = "MAX"
+    layout: str = "nest"
 
     def __post_init__(self):
         super().__post_init__()
@@ -296,6 +342,13 @@ class HealpyPool(nn.Module):
         fs = self.filter_size
         if M % fs != 0:
             raise IOError(f"Input shape {x.shape} not compatible with the filter size {fs}")
+        if self.layout == "face":
+            # a NEST parent block is a 2^p x 2^p spatial tile of the face
+            n = nside_of_axis(M)
+            sp = 2**self.p
+            blocks = x.reshape(B, 12, n // sp, sp, n // sp, sp, F)
+            reducer = jnp.max if self.pool_type == "MAX" else jnp.mean
+            return reducer(blocks, axis=(3, 5)).reshape(B, M // fs, F)
         blocks = x.reshape(B, M // fs, fs, F)
         if self.pool_type == "MAX":
             return jnp.max(blocks, axis=2)
@@ -312,6 +365,7 @@ class HealpyPseudoConv(nn.Module):
     Fout: int
     kernel_initializer: Optional[Callable] = None
     use_bias: bool = True
+    layout: str = "nest"
 
     def __post_init__(self):
         super().__post_init__()
@@ -329,11 +383,25 @@ class HealpyPseudoConv(nn.Module):
         if M % fs != 0:
             raise IOError(f"Input shape {x.shape} not compatible with the filter size {fs}")
         init = self.kernel_initializer or nn.initializers.glorot_uniform()
+        # params always stored in NEST tap order -> checkpoints are
+        # layout-independent
         kernel = self.param("kernel", init, (fs * Fin, self.Fout), jnp.float32)
-        y = jnp.dot(
-            x.reshape(B, M // fs, fs * Fin), kernel.astype(x.dtype),
-            precision=config.precision(),
-        )
+        if self.layout == "face":
+            n = nside_of_axis(M)
+            sp = 2**self.p
+            blocks = x.reshape(B, 12, n // sp, sp, n // sp, sp, Fin)
+            blocks = jnp.transpose(blocks, (0, 1, 2, 4, 3, 5, 6))
+            x3d = blocks.reshape(B, M // fs, fs * Fin)
+            perm = _raster_to_morton_taps(self.p)
+            k_face = kernel.reshape(fs, Fin, self.Fout)[perm].reshape(
+                fs * Fin, self.Fout
+            )
+            y = jnp.dot(x3d, k_face.astype(x.dtype), precision=config.precision())
+        else:
+            y = jnp.dot(
+                x.reshape(B, M // fs, fs * Fin), kernel.astype(x.dtype),
+                precision=config.precision(),
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.Fout,), jnp.float32)
             y = y + bias
@@ -350,6 +418,7 @@ class HealpyPseudoConv_Transpose(nn.Module):
     Fout: int
     kernel_initializer: Optional[Callable] = None
     use_bias: bool = True
+    layout: str = "nest"
 
     def __post_init__(self):
         super().__post_init__()
@@ -365,12 +434,27 @@ class HealpyPseudoConv_Transpose(nn.Module):
         B, M, Fin = x.shape
         fs = self.filter_size
         init = self.kernel_initializer or nn.initializers.glorot_uniform()
+        # params always stored in NEST tap order (layout-independent ckpts)
         kernel = self.param("kernel", init, (fs, Fin, self.Fout), jnp.float32)
-        y = jnp.einsum(
-            "bmf,jfo->bmjo", x, kernel.astype(x.dtype),
-            preferred_element_type=jnp.float32, precision=config.precision(),
-        ).astype(x.dtype)
-        y = y.reshape(B, M * fs, self.Fout)
+        if self.layout == "face":
+            n = nside_of_axis(M)
+            sp = 2**self.p
+            perm = _raster_to_morton_taps(self.p)
+            k_face = kernel[perm]  # (fs raster taps, Fin, Fout)
+            y = jnp.einsum(
+                "bmf,jfo->bmjo", x, k_face.astype(x.dtype),
+                preferred_element_type=jnp.float32, precision=config.precision(),
+            ).astype(x.dtype)
+            # (B, 12, n, n, sp, sp, Fout): emit each coarse pixel's tile
+            y = y.reshape(B, 12, n, n, sp, sp, self.Fout)
+            y = jnp.transpose(y, (0, 1, 2, 4, 3, 5, 6))
+            y = y.reshape(B, M * fs, self.Fout)
+        else:
+            y = jnp.einsum(
+                "bmf,jfo->bmjo", x, kernel.astype(x.dtype),
+                preferred_element_type=jnp.float32, precision=config.precision(),
+            ).astype(x.dtype)
+            y = y.reshape(B, M * fs, self.Fout)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.Fout,), jnp.float32)
             y = y + bias

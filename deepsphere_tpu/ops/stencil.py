@@ -46,9 +46,14 @@ def stencil_tables(st: FaceStencil):
     convert/donate at the jit boundary)."""
     return {
         "weights": st.weights,
-        "border_pos": st.border_pos,
-        "border_src": st.border_src,
-        "border_mask": st.border_mask,
+        "west_src": st.west_src,
+        "west_mask": st.west_mask,
+        "east_src": st.east_src,
+        "east_mask": st.east_mask,
+        "south_src": st.south_src,
+        "south_mask": st.south_mask,
+        "north_src": st.north_src,
+        "north_mask": st.north_mask,
         "n2f": st.n2f,
         "f2n": st.f2n,
     }
@@ -61,15 +66,29 @@ def _as_device(tables, st):
 
 
 def pad_faces(st: FaceStencil, xf, tables):
-    """(12, n, n, C) -> (12, P, P, C) with the cross-face halo filled."""
+    """(12, n, n, C) -> (12, P, P, C) with the cross-face halo filled.
+
+    The halo lands via four static-slice updates (dynamic_update_slice —
+    full-bandwidth on TPU); only the thin strips themselves are gathered
+    (O(nside) rows).  Index scatters are avoided entirely: TPU serializes
+    them.
+    """
     n, s = st.nside, st.n_steps
     P = n + 2 * s
     C = xf.shape[-1]
+    flat = xf.reshape(12 * n * n, C)
+
+    def strip(name):
+        src = tables[f"{name}_src"]
+        mask = tables[f"{name}_mask"].astype(xf.dtype)
+        return flat[src.reshape(-1)].reshape(src.shape + (C,)) * mask[..., None]
+
     xpad = jnp.pad(xf, ((0, 0), (s, s), (s, s), (0, 0)))
-    vals = xf.reshape(12 * n * n, C)[tables["border_src"]]
-    vals = vals * tables["border_mask"][:, None].astype(xf.dtype)
-    xpad = xpad.reshape(12 * P * P, C).at[tables["border_pos"]].set(vals)
-    return xpad.reshape(12, P, P, C)
+    xpad = xpad.at[:, :s, :, :].set(strip("west"))
+    xpad = xpad.at[:, s + n :, :, :].set(strip("east"))
+    xpad = xpad.at[:, s : s + n, :s, :].set(strip("south"))
+    xpad = xpad.at[:, s : s + n, s + n :, :].set(strip("north"))
+    return xpad
 
 
 def stencil_matvec(st: FaceStencil, tables, xf):
@@ -124,18 +143,23 @@ def _term_stream(kind, matvec, x0, n_terms):
         raise ValueError(f"unknown basis kind: {kind}")
 
 
-def stencil_graph_conv(st: FaceStencil, x, kernel, n_terms, kind, tables=None):
+def stencil_graph_conv(st: FaceStencil, x, kernel, n_terms, kind, tables=None,
+                       layout="nest"):
     """Fused polynomial graph conv on the face layout.
 
     Drop-in equivalent of ``spmv.graph_conv`` (same kernel layout,
-    ``gnn_layers.py:144-150``): input/output in the reference's
-    (batch, NEST pixel, channel) contract.
+    ``gnn_layers.py:144-150``), keeping the reference's
+    (batch, pixel, channel) contract.
 
     :param x: (B, M, Fin)
     :param kernel: (Fin * n_terms, Fout), Fin-major / term-minor rows
     :param tables: device arrays from :func:`stencil_tables`; pass them
         through the jit boundary as arguments.  ``None`` converts on the
         spot (fine outside jit / in tests only).
+    :param layout: ordering of the pixel axis — "nest" (reference contract;
+        converted at entry/exit via dense Morton transposes) or "face"
+        (face-flat [f, x, y]; zero-permutation hot path — the native mode
+        the model assembler uses internally)
     :return: (B, M, Fout)
     """
     B, M, Fin = x.shape
@@ -146,7 +170,13 @@ def stencil_graph_conv(st: FaceStencil, x, kernel, n_terms, kind, tables=None):
     tables = _as_device(tables, st)
 
     x2d = jnp.transpose(x, (1, 0, 2)).reshape(M, B * Fin)
-    xf = x2d[tables["n2f"]].reshape(12, n, n, B * Fin)
+    if layout == "nest":
+        from .layout import nest_to_face
+
+        x2d = nest_to_face(x2d)
+    elif layout != "face":
+        raise ValueError(f"unknown layout: {layout}")
+    xf = x2d.reshape(12, n, n, B * Fin)
 
     matvec = lambda t: stencil_matvec(st, tables, t)
     wk = kernel.reshape(Fin, n_terms, Fout)
@@ -157,20 +187,25 @@ def stencil_graph_conv(st: FaceStencil, x, kernel, n_terms, kind, tables=None):
             "mbf,fo->mbo", tk, wk[:, k, :].astype(t.dtype),
             preferred_element_type=jnp.float32, precision=config.precision(),
         )
-    y = y[tables["f2n"]]  # face-flat -> NEST
+    if layout == "nest":
+        from .layout import face_to_nest
+
+        y = face_to_nest(y.reshape(M, B * Fout)).reshape(M, B, Fout)
     return jnp.transpose(y, (1, 0, 2)).astype(x.dtype)
 
 
 def stencil_basis_stack(st: FaceStencil, kind, x2d, n_terms, tables=None):
     """Basis stack in NEST order, shape (n_terms, M, C) — the stencil-path
     analogue of ``spmv.chebyshev_basis`` & co., for tests and parity checks."""
+    from .layout import face_to_nest, nest_to_face
+
     n = st.nside
     M, C = x2d.shape
     tables = _as_device(tables, st)
-    xf = x2d[tables["n2f"]].reshape(12, n, n, C)
+    xf = nest_to_face(x2d).reshape(12, n, n, C)
     matvec = lambda t: stencil_matvec(st, tables, t)
-    f2n = tables["f2n"]
     terms = [
-        t.reshape(M, C)[f2n] for t in _term_stream(kind, matvec, xf, n_terms)
+        face_to_nest(t.reshape(M, C))
+        for t in _term_stream(kind, matvec, xf, n_terms)
     ]
     return jnp.stack(terms, axis=0)

@@ -186,3 +186,118 @@ def test_conv_layer_stencil_method_raises_on_knn():
     layer = ChebyshevConv(graph=g, K=3, Fout=2, conv_method="stencil")
     with pytest.raises(ValueError):
         layer.init(jax.random.key(0), x)
+
+
+# ---------------------------------------------------------------------------
+# face-layout internal mode
+# ---------------------------------------------------------------------------
+
+def test_layout_roundtrip(rng):
+    from deepsphere_tpu.ops.layout import face_to_nest, nest_to_face
+    from deepsphere_tpu.sphere.faces import nest2face_index
+
+    nside = 8
+    M = 12 * nside * nside
+    x = jnp.asarray(rng.normal(size=(3, M, 2)), jnp.float32)
+    f = nest_to_face(x)
+    # must equal the index-based permutation
+    idx = nest2face_index(nside).reshape(-1)
+    np.testing.assert_array_equal(np.asarray(f), np.asarray(x)[:, idx, :])
+    np.testing.assert_array_equal(np.asarray(face_to_nest(f)), np.asarray(x))
+
+
+@pytest.mark.parametrize("mode", ["pool_max", "pool_avg", "pseudo", "pseudo_t"])
+def test_face_layer_parity(rng, mode):
+    """Face-layout pool/pseudo-conv layers with the SAME params equal their
+    NEST versions exactly (taps are reordered internally)."""
+    from deepsphere_tpu.nn.layers import (
+        HealpyPool,
+        HealpyPseudoConv,
+        HealpyPseudoConv_Transpose,
+    )
+    from deepsphere_tpu.ops.layout import face_to_nest, nest_to_face
+
+    nside, p = 8, 2
+    M = 12 * nside * nside
+    x = jnp.asarray(rng.normal(size=(2, M, 3)), jnp.float32)
+    if mode == "pool_max":
+        mk = lambda lo: HealpyPool(p=p, pool_type="MAX", layout=lo)
+    elif mode == "pool_avg":
+        mk = lambda lo: HealpyPool(p=p, pool_type="AVG", layout=lo)
+    elif mode == "pseudo":
+        mk = lambda lo: HealpyPseudoConv(p=p, Fout=5, layout=lo)
+    else:
+        mk = lambda lo: HealpyPseudoConv_Transpose(p=p, Fout=5, layout=lo)
+
+    nest_layer, face_layer = mk("nest"), mk("face")
+    v = nest_layer.init(jax.random.key(0), x)
+    y_nest = nest_layer.apply(v, x)
+    y_face = face_layer.apply(v, nest_to_face(x))
+    np.testing.assert_allclose(
+        np.asarray(face_to_nest(y_face)), np.asarray(y_nest), atol=1e-5
+    )
+
+
+def test_model_face_mode_matches_nest_mode(rng):
+    """internal_layout='auto' (face hot path) == internal_layout='nest'."""
+    import deepsphere_tpu as ds
+    from deepsphere_tpu.nn import healpy_layers as hp_nn
+
+    nside = 8
+    npix = 12 * nside * nside
+    layers = lambda: [
+        hp_nn.HealpyChebyshev(K=4, Fout=6, activation="relu", use_bn=True),
+        hp_nn.HealpyPool(p=1),
+        hp_nn.Healpy_ResidualLayer("CHEBY", {"K": 3}, activation="relu"),
+        hp_nn.HealpyPseudoConv(p=1, Fout=8),
+        hp_nn.HealpyPseudoConv_Transpose(p=1, Fout=4),
+        hp_nn.HealpyMonomial(K=3, Fout=4, activation="elu"),
+        hp_nn.Flatten(),
+        hp_nn.Dense(3),
+    ]
+    m_auto = ds.HealpyGCNN(nside=nside, indices=np.arange(npix), layers=layers())
+    m_nest = ds.HealpyGCNN(nside=nside, indices=np.arange(npix),
+                           layers=layers(), internal_layout="nest")
+    # face mode engaged: module has more layers than the user list
+    assert len(m_auto.module.layers) > len(m_auto.layers_use)
+    assert len(m_nest.module.layers) == len(m_nest.layers_use)
+
+    x = jnp.asarray(rng.normal(size=(2, npix, 1)), jnp.float32)
+    va = m_auto.init(0, x)
+    vn = m_nest.init(0, x)
+    # same param tree up to the module-index renaming
+    ya = m_auto.apply(va, x)
+    # rename params from auto-module indices to nest-module indices
+    pa = {f"layers_{i}": va["params"][m_auto.param_key(i)]
+          for i in range(len(m_auto.layers_use)) if m_auto.param_key(i) in va["params"]}
+    vn2 = dict(vn)
+    vn2["params"] = {**vn["params"], **pa}
+    yn = m_nest.apply(vn2, x)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yn), atol=2e-4)
+
+
+def test_face_mode_checkpoint_roundtrip(tmp_path, rng):
+    """save/load across a fresh model instance in face mode."""
+    import deepsphere_tpu as ds
+    from deepsphere_tpu.nn import healpy_layers as hp_nn
+
+    nside = 8
+    npix = 12 * nside * nside
+
+    def mk():
+        return ds.HealpyGCNN(nside=nside, indices=np.arange(npix), layers=[
+            hp_nn.HealpyChebyshev(K=3, Fout=4, activation="relu"),
+            hp_nn.HealpyPool(p=1),
+            hp_nn.Flatten(),
+            hp_nn.Dense(2),
+        ])
+
+    x = rng.normal(size=(4, npix, 1)).astype(np.float32)
+    m1 = mk(); m1.build((4, npix, 1), rng=0)
+    m2 = mk(); m2.build((4, npix, 1), rng=7)
+    path = str(tmp_path / "w.msgpack")
+    m1.save_weights(path)
+    m2.load_weights(path)
+    np.testing.assert_allclose(
+        np.asarray(m1(jnp.asarray(x))), np.asarray(m2(jnp.asarray(x))), atol=1e-6
+    )
