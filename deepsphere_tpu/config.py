@@ -19,6 +19,30 @@ _PRECISIONS = {
 
 matmul_precision: str = "highest"
 
+# Fused Pallas stencil kernel:
+#   "auto" — compiled on TPU backends, disabled elsewhere (XLA fallback)
+#   "on"   — compiled on TPU, interpreter elsewhere (tests use this to
+#            exercise the kernel code path on CPU)
+#   "off"  — always the XLA stencil path
+use_pallas: str = "auto"
+
+
+def set_use_pallas(mode: str):
+    global use_pallas
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(f"use_pallas must be auto/on/off, got {mode}")
+    use_pallas = mode
+
+
+def pallas_mode():
+    """Resolve the pallas flag -> None (disabled) | "compile" | "interpret"."""
+    if use_pallas == "off":
+        return None
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        return "compile"
+    return "interpret" if use_pallas == "on" else None
+
 
 def set_matmul_precision(name: str):
     global matmul_precision

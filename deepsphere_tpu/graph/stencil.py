@@ -64,7 +64,11 @@ class FaceStencil:
     nside: int
     n_steps: int  # halo (pad) depth; weights cover positions of depth <= n_steps-1
     scale: float
-    weights: np.ndarray  # (9, 12, Pw, Pw) f32, Pw = nside + 2*(n_steps-1)
+    weights: np.ndarray
+    # (9, 12, P_r, P) f32 in padded-activation coordinates: entry
+    # [d, f, x + n_steps, y + n_steps] weighs face coord (x, y); rows are
+    # padded to P_r = nside + round_up(2*n_steps, 8) so the fused kernel's
+    # band DMAs stay sublane-aligned.  P = nside + 2*n_steps.
     # halo strips: face-flat (12*n*n) source rows (clamped) + 0/1 masks
     west_src: np.ndarray  # (12, s, P) int32, P = nside + 2*n_steps
     west_mask: np.ndarray  # (12, s, P) f32
@@ -77,15 +81,22 @@ class FaceStencil:
     n2f: np.ndarray  # (12*n*n,) int32: NEST id at each face-flat position
     f2n: np.ndarray  # (npix,) int32: face-flat position of each NEST pixel
     corrupt_rows: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
-    # NEST rows whose fused-kernel outputs need exact recomputation
+    # NEST rows whose fused-kernel outputs need exact recomputation, plus the
+    # precomputed recompute "ball": a local ELLPACK over the n_steps-hop
+    # neighborhood of the corrupt rows (see ``face_stencil`` for why the
+    # rectangular face extension is incomplete near the 8 polar corners)
+    corr_src: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
+    # (Bn,) face-flat ids of ball rows (gather t_0 from the input)
+    corr_idx: np.ndarray = field(default_factory=lambda: np.zeros((0, 9), np.int32))
+    corr_val: np.ndarray = field(default_factory=lambda: np.zeros((0, 9), np.float32))
+    corr_out_ball: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
+    # (Rc,) ball-local positions of the corrupt rows
+    corr_out_face: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
+    # (Rc,) face-flat positions of the corrupt rows
 
     @property
     def pad_width(self):
         return self.nside + 2 * self.n_steps
-
-    @property
-    def weights_width(self):
-        return self.nside + 2 * (self.n_steps - 1)
 
 
 def _stencil_cache_path(graph, scale, n_steps, cache_dir):
@@ -98,7 +109,7 @@ def _stencil_cache_path(graph, scale, n_steps, cache_dir):
         return None
     tag = "-".join(str(p) for p in h)
     return os.path.join(
-        cache_dir, f"face_stencil-{tag}-s{scale:.6g}-n{n_steps}.npz"
+        cache_dir, f"face_stencil-v2-{tag}-s{scale:.6g}-n{n_steps}.npz"
     )
 
 
@@ -116,6 +127,7 @@ def load_stencil_cache(graph, scale, n_steps, cache_dir):
         "weights", "west_src", "west_mask", "east_src", "east_mask",
         "south_src", "south_mask", "north_src", "north_mask",
         "n2f", "f2n", "corrupt_rows",
+        "corr_src", "corr_idx", "corr_val", "corr_out_ball", "corr_out_face",
     ]
     if not all(f in z for f in fields):  # stale cache from an older layout
         return None
@@ -150,6 +162,11 @@ def save_stencil_cache(st, graph, cache_dir):
         n2f=st.n2f,
         f2n=st.f2n,
         corrupt_rows=st.corrupt_rows,
+        corr_src=st.corr_src,
+        corr_idx=st.corr_idx,
+        corr_val=st.corr_val,
+        corr_out_ball=st.corr_out_ball,
+        corr_out_face=st.corr_out_face,
     )
     os.replace(tmp, path)
 
@@ -232,20 +249,52 @@ def face_stencil(graph, scale, n_steps=1):
     # fused-step corruption: halo positions with incomplete neighborhoods
     # poison everything within graph distance (n_steps - 1)
     corrupt_rows = np.zeros(0, dtype=np.int64)
+    corr = {}
     if n_steps > 1 and np.any(incomplete):
-        seeds = np.unique(rows_flat[incomplete])
         nb = hp.neighbors_nest(nside, np.arange(npix, dtype=np.int64))
-        reach = set(seeds.tolist())
-        frontier = set(seeds.tolist())
-        for _ in range(n_steps - 1):
-            nxt = set()
-            fr = np.fromiter(frontier, dtype=np.int64)
-            for q in np.unique(nb[fr][nb[fr] >= 0]):
-                if q not in reach:
-                    nxt.add(int(q))
-            reach |= nxt
-            frontier = nxt
-        corrupt_rows = np.fromiter(sorted(reach), dtype=np.int64)
+
+        def bfs(seed_set, hops):
+            reach = set(seed_set.tolist())
+            frontier = np.asarray(sorted(reach), dtype=np.int64)
+            for _ in range(hops):
+                if frontier.size == 0:
+                    break
+                cand = np.unique(nb[frontier][nb[frontier] >= 0])
+                frontier = np.asarray(
+                    [int(q) for q in cand if int(q) not in reach], dtype=np.int64
+                )
+                reach |= set(frontier.tolist())
+            return np.asarray(sorted(reach), dtype=np.int64)
+
+        seeds = np.unique(rows_flat[incomplete])
+        corrupt_rows = bfs(seeds, n_steps - 1)
+
+        # recompute ball: t_0 gathered exactly, so a ball of radius n_steps
+        # around the corrupt rows supports n_steps exact recursion steps at
+        # the corrupt rows themselves
+        ball = bfs(corrupt_rows, n_steps)
+        local = {int(g): i for i, g in enumerate(ball)}
+        Lr = graph.rescaled(scale).tocsr()
+        Wl = max(int(np.diff(Lr.indptr).max()), 1)
+        corr_idx = np.zeros((len(ball), Wl), dtype=np.int32)
+        corr_val = np.zeros((len(ball), Wl), dtype=np.float32)
+        for i, g in enumerate(ball):
+            sl = slice(Lr.indptr[g], Lr.indptr[g + 1])
+            cols = Lr.indices[sl]
+            vals = Lr.data[sl]
+            # out-of-ball cols only matter in the invalid outer shell; clamp
+            corr_idx[i, : len(cols)] = [local.get(int(c), 0) for c in cols]
+            corr_val[i, : len(cols)] = vals
+        f2n_full = face2nest_index(nside)
+        corr = dict(
+            corr_src=f2n_full[ball].astype(np.int32),
+            corr_idx=corr_idx,
+            corr_val=corr_val,
+            corr_out_ball=np.asarray(
+                [local[int(g)] for g in corrupt_rows], dtype=np.int32
+            ),
+            corr_out_face=f2n_full[corrupt_rows].astype(np.int32),
+        )
 
     # halo strip maps for a depth-n_steps pad (regular slices, not scatter)
     s = n_steps
@@ -264,11 +313,21 @@ def face_stencil(graph, scale, n_steps=1):
 
     n2f = halo_map(nside, 0).reshape(-1).astype(np.int32)
 
+    # re-embed the weight planes into padded-activation coordinates
+    # (face coord (x, y) -> index (x + n_steps, y + n_steps)); rows padded
+    # to a sublane multiple and lanes to a lane-tile multiple so the fused
+    # kernel's band DMAs stay aligned
+    P = nside + 2 * n_steps
+    P_r = nside + -(-2 * n_steps // 8) * 8
+    P_l = -(-P // 128) * 128
+    w_emb = np.zeros((9, 12, P_r, P_l), dtype=np.float32)
+    w_emb[:, :, 1 : 1 + Pw, 1 : 1 + Pw] = weights.reshape(9, 12, Pw, Pw)
+
     return FaceStencil(
         nside=nside,
         n_steps=n_steps,
         scale=float(scale),
-        weights=weights.reshape(9, 12, Pw, Pw),
+        weights=w_emb,
         west_src=west_src,
         west_mask=west_mask,
         east_src=east_src,
@@ -280,4 +339,5 @@ def face_stencil(graph, scale, n_steps=1):
         n2f=n2f,
         f2n=f2n.astype(np.int32),
         corrupt_rows=corrupt_rows,
+        **corr,
     )

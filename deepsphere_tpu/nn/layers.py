@@ -162,7 +162,14 @@ class _GraphPolyConv(nn.Module):
         else:
             st = None
             if self.conv_method in ("auto", "stencil"):
-                st = self.graph.face_stencil(self._scale)
+                # prefer the deep (n_steps = K-1) stencil: it feeds the
+                # fused Pallas kernel on TPU and still runs the per-step XLA
+                # path elsewhere.  The choice is platform-independent so a
+                # model initialized on CPU applies unchanged on TPU.
+                if self._basis_kind in ("cheby", "mono") and n_terms >= 2:
+                    st = self.graph.face_stencil(self._scale, n_steps=n_terms - 1)
+                if st is None:
+                    st = self.graph.face_stencil(self._scale)
                 if st is None and self.conv_method == "stencil":
                     raise ValueError(
                         "conv_method='stencil' requires a full-sphere "

@@ -56,6 +56,12 @@ def stencil_tables(st: FaceStencil):
         "north_mask": st.north_mask,
         "n2f": st.n2f,
         "f2n": st.f2n,
+        # corner-correction ball (empty for n_steps == 1)
+        "corr_src": st.corr_src,
+        "corr_idx": st.corr_idx,
+        "corr_val": st.corr_val,
+        "corr_out_ball": st.corr_out_ball,
+        "corr_out_face": st.corr_out_face,
     }
 
 
@@ -100,7 +106,8 @@ def stencil_matvec(st: FaceStencil, tables, xf):
     :return: (12, n, n, C)
     """
     n, s = st.nside, st.n_steps
-    w = tables["weights"].astype(xf.dtype)
+    # weight planes live in padded-activation coordinates; slice the interior
+    w = tables["weights"][:, :, s : s + n, s : s + n].astype(xf.dtype)
     xpad = pad_faces(st, xf, tables)
     y = w[8][..., None] * xf
     for d, (dx, dy) in enumerate(STENCIL_OFFSETS[:8]):
@@ -144,7 +151,7 @@ def _term_stream(kind, matvec, x0, n_terms):
 
 
 def stencil_graph_conv(st: FaceStencil, x, kernel, n_terms, kind, tables=None,
-                       layout="nest"):
+                       layout="nest", fused="auto"):
     """Fused polynomial graph conv on the face layout.
 
     Drop-in equivalent of ``spmv.graph_conv`` (same kernel layout,
@@ -176,17 +183,33 @@ def stencil_graph_conv(st: FaceStencil, x, kernel, n_terms, kind, tables=None,
         x2d = nest_to_face(x2d)
     elif layout != "face":
         raise ValueError(f"unknown layout: {layout}")
-    xf = x2d.reshape(12, n, n, B * Fin)
 
-    matvec = lambda t: stencil_matvec(st, tables, t)
-    wk = kernel.reshape(Fin, n_terms, Fout)
-    y = jnp.zeros((M, B, Fout), dtype=jnp.float32)
-    for k, t in enumerate(_term_stream(kind, matvec, xf, n_terms)):
-        tk = t.reshape(M, B, Fin)
-        y = y + jnp.einsum(
-            "mbf,fo->mbo", tk, wk[:, k, :].astype(t.dtype),
-            preferred_element_type=jnp.float32, precision=config.precision(),
+    mode = config.pallas_mode()
+    use_fused = False
+    if fused != "never" and mode is not None:
+        from .pallas_stencil import fused_available
+
+        use_fused = fused_available(st, kind, n_terms)
+
+    if use_fused:
+        from .pallas_stencil import fused_stencil_conv
+
+        y2d = fused_stencil_conv(
+            st, tables, x2d, kernel, n_terms, kind, B,
+            interpret=(mode == "interpret"),
         )
+        y = y2d.reshape(M, B, Fout)
+    else:
+        xf = x2d.reshape(12, n, n, B * Fin)
+        matvec = lambda t: stencil_matvec(st, tables, t)
+        wk = kernel.reshape(Fin, n_terms, Fout)
+        y = jnp.zeros((M, B, Fout), dtype=jnp.float32)
+        for k, t in enumerate(_term_stream(kind, matvec, xf, n_terms)):
+            tk = t.reshape(M, B, Fin)
+            y = y + jnp.einsum(
+                "mbf,fo->mbo", tk, wk[:, k, :].astype(t.dtype),
+                preferred_element_type=jnp.float32, precision=config.precision(),
+            )
     if layout == "nest":
         from .layout import face_to_nest
 

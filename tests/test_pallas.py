@@ -1,0 +1,105 @@
+"""Fused Pallas stencil kernel: interpret-mode parity on CPU.
+
+The kernel's compiled-vs-interpret equivalence is separately verified on
+real TPU hardware; these tests pin the kernel's math (forward, both
+backward passes, the corner-correction ball) against the gather path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import deepsphere_tpu.config as cfg
+from deepsphere_tpu.graph import build_sphere_graph
+from deepsphere_tpu.ops import spmv
+from deepsphere_tpu.ops.pallas_stencil import fused_available
+from deepsphere_tpu.ops.stencil import stencil_graph_conv, stencil_tables
+
+
+@pytest.fixture(autouse=True)
+def _pallas_on():
+    cfg.set_use_pallas("on")  # interpret mode on CPU
+    yield
+    cfg.set_use_pallas("auto")
+
+
+@pytest.fixture(scope="module")
+def graph():
+    return build_sphere_graph(8, k=8, method="grid")
+
+
+def _ref_conv(g, kind, x, kern, K, scale):
+    idx, val = g.ellpack(scale)
+    basis = {"cheby": spmv.chebyshev_basis, "mono": spmv.monomial_basis}[kind]
+    return spmv.graph_conv(
+        lambda z, nt: basis(jnp.asarray(idx), jnp.asarray(val), z, nt),
+        x, kern, K,
+    )
+
+
+@pytest.mark.parametrize("kind,K,scale", [("cheby", 5, 0.75), ("mono", 3, 1.0)])
+def test_fused_forward_matches_gather(rng, graph, kind, K, scale):
+    st = graph.face_stencil(scale, n_steps=K - 1)
+    assert fused_available(st, kind, K)
+    tables = {k: jnp.asarray(v) for k, v in stencil_tables(st).items()}
+    B, Fin, Fout = 3, 2, 4
+    x = jnp.asarray(rng.normal(size=(B, graph.n_pixels, Fin)), jnp.float32)
+    kern = jnp.asarray(rng.normal(size=(Fin * K, Fout)), jnp.float32)
+    y_ref = _ref_conv(graph, kind, x, kern, K, scale)
+    y = stencil_graph_conv(st, x, kern, K, kind, tables=tables)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-4)
+
+
+def test_fused_gradients_match(rng, graph):
+    K, B, Fin, Fout = 4, 2, 2, 3
+    st = graph.face_stencil(0.75, n_steps=K - 1)
+    tables = {k: jnp.asarray(v) for k, v in stencil_tables(st).items()}
+    x = jnp.asarray(rng.normal(size=(B, graph.n_pixels, Fin)), jnp.float32)
+    kern = jnp.asarray(rng.normal(size=(Fin * K, Fout)), jnp.float32)
+
+    def loss_fused(x, k):
+        return jnp.sum(stencil_graph_conv(st, x, k, K, "cheby", tables=tables) ** 2)
+
+    def loss_ref(x, k):
+        return jnp.sum(_ref_conv(graph, "cheby", x, k, K, 0.75) ** 2)
+
+    gx1, gk1 = jax.grad(loss_fused, argnums=(0, 1))(x, kern)
+    gx2, gk2 = jax.grad(loss_ref, argnums=(0, 1))(x, kern)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2), rtol=2e-4, atol=2e-3)
+
+
+def test_corner_correction_engages(graph):
+    """The deep stencil must record corrupt rows + a recompute ball."""
+    st = graph.face_stencil(0.75, n_steps=4)
+    assert st.corrupt_rows.shape[0] > 0
+    assert st.corr_src.shape[0] >= st.corrupt_rows.shape[0]
+    # correction indices are consistent
+    assert st.corr_out_ball.shape == st.corr_out_face.shape
+
+
+def test_fused_not_used_for_bernstein(graph):
+    st = graph.face_stencil(0.75, n_steps=3)
+    assert not fused_available(st, "bern", 4)
+
+
+def test_model_training_through_fused_path(rng, graph):
+    """End-to-end: a model trains through the fused kernel (interpret)."""
+    import deepsphere_tpu as ds
+    from deepsphere_tpu.nn import healpy_layers as hp_nn
+
+    nside = 8
+    npix = 12 * nside * nside
+    model = ds.HealpyGCNN(nside=nside, indices=np.arange(npix), layers=[
+        hp_nn.HealpyChebyshev(K=3, Fout=4, activation="relu"),
+        hp_nn.HealpyPool(p=1),
+        hp_nn.Flatten(),
+        hp_nn.Dense(2),
+    ])
+    x = rng.normal(size=(8, npix, 1)).astype(np.float32)
+    y = (np.arange(8) % 2).astype(np.int64)
+    model.build((8, npix, 1))
+    model.compile(optimizer=1e-2, loss="sparse_categorical_crossentropy_from_logits")
+    h = model.fit(x, y, batch_size=8, epochs=3, verbose=0)
+    assert np.isfinite(h["loss"]).all()
