@@ -62,7 +62,8 @@ def main():
 
     t0 = time.time()
     graph = build_sphere_graph(NSIDE, k=8, method="grid", cache_dir=cache)
-    st = graph.face_stencil(0.75)
+    # deep stencil (n_steps = K-1) feeds the fused Pallas kernel on TPU
+    st = graph.face_stencil(0.75, n_steps=K - 1)
     build_s = time.time() - t0
 
     npix = graph.n_pixels

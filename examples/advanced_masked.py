@@ -79,13 +79,16 @@ def main():
     tx = optax.adam(1e-3)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    # static graph arrays: always thread them through jit as arguments
+    graph_tables = variables.get("graph_tables", {})
     opt_state = tx.init(params)
 
     @jax.jit
-    def train_step(params, batch_stats, opt_state, xb, yb):
+    def train_step(params, batch_stats, graph_tables, opt_state, xb, yb):
         def loss_of(p):
             out, updates = model.module.apply(
-                {"params": p, "batch_stats": batch_stats},
+                {"params": p, "batch_stats": batch_stats,
+                 "graph_tables": graph_tables},
                 xb, training=True, mutable=["batch_stats"],
             )
             return loss_fn(yb, out), updates["batch_stats"]
@@ -96,9 +99,11 @@ def main():
         return params, new_stats, opt_state, loss
 
     @jax.jit
-    def eval_step(params, batch_stats, xb, yb):
+    def eval_step(params, batch_stats, graph_tables, xb, yb):
         out = model.module.apply(
-            {"params": params, "batch_stats": batch_stats}, xb, training=False
+            {"params": params, "batch_stats": batch_stats,
+             "graph_tables": graph_tables},
+            xb, training=False,
         )
         return jnp.mean(jnp.argmax(out, -1) == yb)
 
@@ -110,12 +115,12 @@ def main():
         for s in range(0, n - batch + 1, batch):
             sel = order[s : s + batch]
             params, batch_stats, opt_state, loss = train_step(
-                params, batch_stats, opt_state,
+                params, batch_stats, graph_tables, opt_state,
                 jnp.asarray(x_train[sel]), jnp.asarray(y_train[sel]),
             )
             losses.append(float(loss))
         accs = [
-            float(eval_step(params, batch_stats,
+            float(eval_step(params, batch_stats, graph_tables,
                             jnp.asarray(x_test[s : s + batch]),
                             jnp.asarray(y_test[s : s + batch])))
             for s in range(0, x_test.shape[0], batch)

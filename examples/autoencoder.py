@@ -71,11 +71,21 @@ class AutoEncoder:
         ve = self.encoder.init(rng, x)
         z = self.encoder.module.apply(ve, x, training=False)
         vd = self.decoder.init(rng, z)
-        return {"enc": ve, "dec": vd}
+        # split trainables from the static graph arrays
+        params = {"enc": ve["params"], "dec": vd["params"]}
+        static = {
+            "enc": {k: v for k, v in ve.items() if k != "params"},
+            "dec": {k: v for k, v in vd.items() if k != "params"},
+        }
+        return params, static
 
-    def apply(self, variables, x, training=False):
-        z = self.encoder.module.apply(variables["enc"], x, training=training)
-        return self.decoder.module.apply(variables["dec"], z, training=training)
+    def apply(self, params, static, x, training=False):
+        z = self.encoder.module.apply(
+            {**static["enc"], "params": params["enc"]}, x, training=training
+        )
+        return self.decoder.module.apply(
+            {**static["dec"], "params": params["dec"]}, z, training=training
+        )
 
 
 def main():
@@ -85,24 +95,24 @@ def main():
 
     ae = AutoEncoder(NSIDE, BOTTLENECK_NSIDE)
     batch = 8
-    variables = ae.init(0, jnp.zeros((batch, npix, 1), jnp.float32))
+    params, static = ae.init(0, jnp.zeros((batch, npix, 1), jnp.float32))
 
     tx = optax.adam(1e-3)
-    opt_state = tx.init(variables)
+    opt_state = tx.init(params)
 
     @jax.jit
-    def train_step(variables, opt_state, xb):
-        def loss_of(v):
-            rec = ae.apply(v, xb, training=False)
+    def train_step(params, static, opt_state, xb):
+        def loss_of(p):
+            rec = ae.apply(p, static, xb, training=False)
             return jnp.mean(jnp.abs(rec - xb))
 
-        loss, grads = jax.value_and_grad(loss_of)(variables)
-        updates, opt_state = tx.update(grads, opt_state, variables)
-        return optax.apply_updates(variables, updates), opt_state, loss
+        loss, grads = jax.value_and_grad(loss_of)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
 
     @jax.jit
-    def eval_mae(variables, xb):
-        return jnp.mean(jnp.abs(ae.apply(variables, xb) - xb))
+    def eval_mae(params, static, xb):
+        return jnp.mean(jnp.abs(ae.apply(params, static, xb) - xb))
 
     n = x_train.shape[0]
     rng = np.random.RandomState(0)
@@ -111,11 +121,11 @@ def main():
         losses = []
         for s in range(0, n - batch + 1, batch):
             sel = order[s : s + batch]
-            variables, opt_state, loss = train_step(
-                variables, opt_state, jnp.asarray(x_train[sel])
+            params, opt_state, loss = train_step(
+                params, static, opt_state, jnp.asarray(x_train[sel])
             )
             losses.append(float(loss))
-        val = float(eval_mae(variables, jnp.asarray(x_test)))
+        val = float(eval_mae(params, static, jnp.asarray(x_test)))
         print(f"epoch {epoch + 1}/{EPOCHS}: train_mae={np.mean(losses):.4f} "
               f"val_mae={val:.4f}")
 

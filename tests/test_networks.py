@@ -1,0 +1,171 @@
+"""HealpyGCNN end-to-end vs the reference test strategy
+(tests/test_healpy_networks.py): the kitchen-sink model with every layer
+type, summary, filter extraction + all plot methods, checkpoint roundtrip
+with different seeds, and the constructor error paths."""
+
+import os
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import deepsphere_tpu as ds
+from deepsphere_tpu.nn import healpy_layers as hp_nn
+from deepsphere_tpu.nn.layers import Dense, Flatten
+from deepsphere_tpu.sphere import healpix as hp
+from deepsphere_tpu.sphere.indexing import extend_indices
+
+PLOT_DIR = os.path.join(os.path.dirname(__file__), "test_plots")
+os.makedirs(PLOT_DIR, exist_ok=True)
+
+NSIDE = 16  # reference uses 256; 16 keeps the 1-core CI fast
+
+
+def _kitchen_sink_layers():
+    """Every layer family, mirroring test_healpy_networks.py:102-120."""
+    return [
+        hp_nn.HealpyPseudoConv(p=1, Fout=4),
+        hp_nn.HealpyPool(p=1),
+        hp_nn.HealpyChebyshev(K=5, Fout=8),
+        hp_nn.Healpy_ViT(p=2, key_dim=8, num_heads=2, n_layers=2),
+        hp_nn.HealpyPseudoConv_Transpose(p=2, Fout=16),
+        hp_nn.HealpyPseudoConv(p=2, Fout=16),
+        hp_nn.HealpyMonomial(K=5, Fout=32),
+        hp_nn.HealpyBernstein(K=5, Fout=32),
+        hp_nn.Healpy_Transformer(key_dim=8, num_heads=4),
+        hp_nn.Healpy_ResidualLayer("CHEBY", layer_kwargs={"K": 5}),
+        Flatten(),
+        Dense(4),
+    ]
+
+
+@pytest.fixture(scope="module")
+def kitchen_sink():
+    n_pix = hp.nside2npix(NSIDE)
+    model = ds.HealpyGCNN(
+        nside=NSIDE, indices=np.arange(n_pix), layers=_kitchen_sink_layers()
+    )
+    model.build((3, n_pix, 1))
+    return model
+
+
+def test_kitchen_sink_forward_and_summary(kitchen_sink, rng, capsys):
+    n_pix = hp.nside2npix(NSIDE)
+    m_in = jnp.asarray(rng.normal(size=(3, n_pix, 1)), jnp.float32)
+    out = kitchen_sink(m_in)
+    assert np.asarray(out).shape == (3, 4)
+    kitchen_sink.summary()
+    captured = capsys.readouterr().out
+    assert "chebyshev" in captured and "Total params" in captured
+
+
+def test_kitchen_sink_plots(kitchen_sink):
+    import matplotlib.pyplot as plt
+
+    with pytest.raises(ValueError):
+        kitchen_sink.get_filters(1)  # pool layer
+
+    kitchen_sink.get_filters("chebyshev")
+    kitchen_sink.get_filters("gcnn__residual_layer")
+
+    ax = kitchen_sink.plot_chebyshev_coeffs("chebyshev")
+    ax.figure.savefig(os.path.join(PLOT_DIR, "network_cheby_coeffs.png"))
+    plt.close("all")
+    ax = kitchen_sink.plot_filters_spectral("chebyshev")
+    ax.figure.savefig(os.path.join(PLOT_DIR, "network_filters_spectral.png"))
+    plt.close("all")
+    figs = kitchen_sink.plot_filters_section("chebyshev", ind_in=[0], ind_out=[0])
+    figs[0].savefig(os.path.join(PLOT_DIR, "network_filters_section.png"))
+    plt.close("all")
+    figs = kitchen_sink.plot_filters_gnomonic("gcnn__residual_layer", ind_in=[0], ind_out=[0])
+    figs[0].savefig(os.path.join(PLOT_DIR, "network_filters_gnomonic.png"))
+    plt.close("all")
+
+
+def test_checkpoint_roundtrip_different_seed(rng, tmp_path):
+    """save -> fresh differently-seeded model -> load -> identical predict
+    (reference test_healpy_networks.py:133-152, atol 1e-6)."""
+    nside = 8
+    n_pix = hp.nside2npix(nside)
+
+    def mk():
+        return ds.HealpyGCNN(nside=nside, indices=np.arange(n_pix), layers=[
+            hp_nn.HealpyChebyshev(K=5, Fout=8, activation="relu"),
+            hp_nn.HealpyPool(p=1),
+            hp_nn.HealpyMonomial(K=3, Fout=4, activation="elu"),
+            Flatten(),
+            Dense(4),
+        ])
+
+    x = rng.normal(size=(3, n_pix, 1)).astype(np.float32)
+    m1 = mk(); m1.build((3, n_pix, 1), rng=11)
+    m2 = mk(); m2.build((3, n_pix, 1), rng=12)
+    y1 = np.asarray(m1(jnp.asarray(x)))
+    y2 = np.asarray(m2(jnp.asarray(x)))
+    assert not np.allclose(y1, y2)  # different init -> different output
+
+    path = str(tmp_path / "weights.msgpack")
+    m1.save_weights(path)
+    m2.load_weights(path)
+    y2b = np.asarray(m2(jnp.asarray(x)))
+    np.testing.assert_allclose(y1, y2b, atol=1e-6)
+
+
+def test_constructor_errors():
+    n_pix = hp.nside2npix(8)
+    with pytest.raises(NotImplementedError):
+        ds.HealpyGCNN(nside=8, indices=np.arange(n_pix), layers=[], n_neighbors=9)
+    # reducing below nside 1 (healpy_networks.py:59-65)
+    with pytest.raises(ValueError):
+        ds.HealpyGCNN(nside=2, indices=np.arange(hp.nside2npix(2)), layers=[
+            hp_nn.HealpyPool(p=1), hp_nn.HealpyPool(p=1),
+        ])
+    # inconsistent partial indices (healpy_networks.py:73-88)
+    with pytest.raises(ValueError):
+        ds.HealpyGCNN(nside=8, indices=np.arange(5), layers=[hp_nn.HealpyPool(p=1)])
+
+
+def test_partial_sky_model_with_extend_indices(rng):
+    """Masked workflow: extend_indices makes a disc reducible, model runs
+    (the advanced_tutorial path; uses the kNN graph + ELLPACK branch)."""
+    nside = 8
+    npix = hp.nside2npix(nside)
+    vec = hp.pix2vec(nside, np.arange(npix), nest=True)
+    raw = np.flatnonzero(vec @ np.array([1.0, 0, 0]) > 0.6)
+    indices = extend_indices(raw, nside_in=nside, nside_out=nside // 2)
+    model = ds.HealpyGCNN(nside=nside, indices=indices, layers=[
+        hp_nn.HealpyChebyshev(K=4, Fout=4, activation="relu"),
+        hp_nn.HealpyPool(p=1),
+        Flatten(),
+        Dense(2),
+    ])
+    x = jnp.asarray(rng.normal(size=(2, len(indices), 1)), jnp.float32)
+    model.build((2, len(indices), 1))
+    assert np.asarray(model(x)).shape == (2, 2)
+
+
+def test_smoothing_layer(rng):
+    """HealpySmoothing: row-normalized Gaussian kernel preserves constants
+    and reduces variance (healpy_layers.py:510-853 semantics)."""
+    from deepsphere_tpu.nn.smoothing import HealpySmoothing, SmoothingOperator
+
+    nside = 8
+    npix = hp.nside2npix(nside)
+    op = SmoothingOperator(nside=nside, indices=np.arange(npix), sigma=600.0)
+    layer = HealpySmoothing(operator=op)
+    import jax
+
+    x = rng.normal(size=(2, npix, 1)).astype(np.float32)
+    v = layer.init(jax.random.key(0), jnp.asarray(x))
+    y = np.asarray(layer.apply(v, jnp.asarray(x)))
+    assert y.shape == x.shape
+    # constants are preserved (row-normalized kernel)
+    ones = jnp.ones((1, npix, 1), jnp.float32)
+    y1 = np.asarray(layer.apply(v, ones))
+    np.testing.assert_allclose(y1, 1.0, atol=1e-5)
+    # smoothing reduces variance
+    assert y[0, :, 0].std() < x[0, :, 0].std()
