@@ -147,6 +147,24 @@ def rescale_laplacian(L, lmax, scale=1.0):
     return (L * (2.0 * scale / lmax) - sparse.identity(n, format="csr", dtype=L.dtype)).tocsr()
 
 
+def _ellpack_from_neighbors(nb, w):
+    """(npix, 8) neighbor table + Gaussian weights -> direction-aligned
+    unscaled normalized-Laplacian ELLPACK (slot 8 = unit diagonal) —
+    vectorized reconstruction of the native builder's layout."""
+    M = nb.shape[0]
+    deg = w.sum(axis=1)
+    with np.errstate(divide="ignore"):
+        dinv = 1.0 / np.sqrt(deg)
+    dinv[~np.isfinite(dinv)] = 0.0
+    own = np.arange(M, dtype=np.int64)[:, None]
+    valid = nb >= 0
+    cols = np.where(valid, nb, own)
+    vals = np.where(valid, -w * dinv[:, None] * dinv[np.clip(nb, 0, M - 1)], 0.0)
+    ell_idx = np.concatenate([cols, own], axis=1).astype(np.int32)
+    ell_val = np.concatenate([vals, np.ones((M, 1))], axis=1)
+    return ell_idx, ell_val
+
+
 def _to_ellpack(L, dtype=np.float32):
     """CSR -> padded ELLPACK (idx, val). Padded entries point at the own row
     with value 0, so the gather stays in-bounds and contributes nothing."""
@@ -183,6 +201,8 @@ class SphereGraph:
 
     def __post_init__(self):
         self._ellpack_cache = {}
+        self._ell_L = None  # native direction-aligned unscaled-L ELLPACK
+        self._nb_w = None  # native (neighbors, weights) for lazy A
         ind = np.ascontiguousarray(np.asarray(self.indices, dtype=np.int64))
         h = hashlib.sha1(ind.tobytes()).hexdigest()[:16]
         self._key = (self.nside, h, self.k, self.lap_type, round(self.kernel_width, 12))
@@ -196,10 +216,34 @@ class SphereGraph:
 
     @property
     def n_pixels(self):
-        return self.L.shape[0]
+        return len(self.indices)
+
+    def _materialize(self):
+        """Build the csr matrices lazily from the native direction-aligned
+        ELLPACK (the native grid builder skips csr construction — most
+        consumers never need it)."""
+        if self.L is None:
+            idx, val = self._ell_L
+            M = self.n_pixels
+            rows = np.repeat(np.arange(M, dtype=np.int64), idx.shape[1])
+            mask = val.reshape(-1) != 0.0
+            self.L = sparse.csr_matrix(
+                (val.reshape(-1)[mask], (rows[mask], idx.reshape(-1)[mask])),
+                shape=(M, M),
+            )
+        if self.A is None:
+            nb, w = self._nb_w
+            M = self.n_pixels
+            rows = np.repeat(np.arange(M, dtype=np.int64), nb.shape[1])
+            cols = nb.reshape(-1)
+            mask = cols >= 0
+            self.A = sparse.csr_matrix(
+                (w.reshape(-1)[mask], (rows[mask], cols[mask])), shape=(M, M)
+            )
 
     def rescaled(self, scale):
         """Rescaled Laplacian (spectrum in [-scale, scale]) as csr."""
+        self._materialize()
         return rescale_laplacian(self.L, self.lmax, scale=scale)
 
     def ellpack(self, scale):
@@ -207,7 +251,15 @@ class SphereGraph:
         rescaled Laplacian; cached per scale."""
         key = round(float(scale), 12)
         if key not in self._ellpack_cache:
-            self._ellpack_cache[key] = _to_ellpack(self.rescaled(scale))
+            if getattr(self, "_ell_L", None) is not None:
+                # direction-aligned unscaled-L ELLPACK from the native
+                # builder: rescale in place (diag lives in slot 8)
+                idx, val = self._ell_L
+                val_s = (2.0 * scale / self.lmax) * val
+                val_s[:, 8] -= 1.0
+                self._ellpack_cache[key] = (idx, val_s.astype(np.float32))
+            else:
+                self._ellpack_cache[key] = _to_ellpack(self.rescaled(scale))
         return self._ellpack_cache[key]
 
     def face_stencil(self, scale, n_steps=1):
@@ -235,6 +287,7 @@ class SphereGraph:
     def edge_idx(self):
         """Row-major sorted (nnz, 2) adjacency edge list (row, col), the
         analogue of ``sparse_A_indices`` at ``gnn_transformers.py:397-399``."""
+        self._materialize()
         coo = self.A.tocoo()
         order = np.lexsort((coo.col, coo.row))
         return np.stack([coo.row[order], coo.col[order]], axis=1).astype(np.int64)
@@ -299,23 +352,31 @@ def build_sphere_graph(
         )
         if os.path.exists(cache_path):
             z = np.load(cache_path)
-            W = sparse.csr_matrix(
-                (z["w_data"], z["w_indices"], z["w_indptr"]), shape=tuple(z["shape"])
-            )
-            L = sparse.csr_matrix(
-                (z["l_data"], z["l_indices"], z["l_indptr"]), shape=tuple(z["shape"])
-            )
+            if "nb" in z:  # native-builder cache: csr stays lazy
+                g = SphereGraph(
+                    nside=nside, indices=indices, k=k, lap_type=lap_type,
+                    kernel_width=float(z["kernel_width"]),
+                    L=None, A=None, lmax=float(z["lmax"]),
+                )
+                nb = z["nb"].astype(np.int64)
+                w = z["w"].astype(np.float64)
+                g._ell_L = _ellpack_from_neighbors(nb, w)
+                g._nb_w = (nb, w)
+            else:
+                W = sparse.csr_matrix(
+                    (z["w_data"], z["w_indices"], z["w_indptr"]),
+                    shape=tuple(z["shape"]),
+                )
+                L = sparse.csr_matrix(
+                    (z["l_data"], z["l_indices"], z["l_indptr"]),
+                    shape=tuple(z["shape"]),
+                )
+                g = SphereGraph(
+                    nside=nside, indices=indices, k=k, lap_type=lap_type,
+                    kernel_width=float(z["kernel_width"]),
+                    L=L, A=W, lmax=float(z["lmax"]),
+                )
             logger.info(f"Loaded cached sphere graph from {cache_path}")
-            g = SphereGraph(
-                nside=nside,
-                indices=indices,
-                k=k,
-                lap_type=lap_type,
-                kernel_width=float(z["kernel_width"]),
-                L=L,
-                A=W,
-                lmax=float(z["lmax"]),
-            )
             g._cache_dir = cache_dir
             return g
 
@@ -324,6 +385,34 @@ def build_sphere_graph(
             raise ValueError("method='grid' supports k=8 only")
         if len(indices) != hp.nside2npix(nside):
             raise ValueError("method='grid' supports the full sphere only")
+
+        from .. import native
+
+        if lap_type == "normalized" and native.available():
+            # one-pass native build: neighbors + weights + normalized-L
+            # ELLPACK + Lanczos lmax; csr matrices stay lazy
+            res = native.grid_laplacian(nside, kernel_width)
+            graph = SphereGraph(
+                nside=nside, indices=indices, k=k, lap_type=lap_type,
+                kernel_width=res["kernel_width"],
+                L=None, A=None, lmax=res["lmax"],
+            )
+            graph._ell_L = (res["ell_idx"], res["ell_val"])
+            graph._nb_w = (res["nb"], res["w"])
+            graph._cache_dir = cache_dir
+            if cache_path is not None:
+                # compact cache: the ELLPACK is reconstructable from (nb, w)
+                os.makedirs(cache_dir, exist_ok=True)
+                tmp_path = cache_path + f".{os.getpid()}.tmp.npz"
+                np.savez(
+                    tmp_path,
+                    nb=res["nb"].astype(np.int32),
+                    w=res["w"].astype(np.float32),
+                    kernel_width=res["kernel_width"], lmax=res["lmax"],
+                )
+                os.replace(tmp_path, cache_path)
+                logger.info(f"Cached sphere graph to {cache_path}")
+            return graph
         W, kw_used = _grid_adjacency(nside, indices, kernel_width)
     elif method == "knn":
         coords = hp.pix2vec(nside, indices, nest=True)

@@ -207,26 +207,46 @@ def face_stencil(graph, scale, n_steps=1):
             "not an 8-neighbor grid graph"
         )
 
+    from .. import native
+
     h = n_steps - 1  # weight coverage depth
     Pw = nside + 2 * h
     hm = halo_map(nside, h + 1)  # need neighbors of depth-h positions
-
-    # weight planes: w[d, f, u, v] = L[pix(f,u,v), pix((f,u,v)+d)]
     core = hm[:, 1 : 1 + Pw, 1 : 1 + Pw]
     rows_flat = core.reshape(-1)
-    weights = np.zeros((9, 12 * Pw * Pw), dtype=np.float32)
-    captured_abs = np.zeros(12 * Pw * Pw, dtype=np.float64)
-    for d, (dx, dy) in enumerate(STENCIL_OFFSETS):
-        nbr = hm[:, 1 + dx : 1 + dx + Pw, 1 + dy : 1 + dy + Pw].reshape(-1)
-        valid = (rows_flat >= 0) & (nbr >= 0)
-        vals = np.zeros(rows_flat.shape[0], dtype=np.float32)
-        vals[valid] = _lookup_entries(ell_idx, ell_val, rows_flat[valid], nbr[valid])
-        weights[d] = vals
-        captured_abs += np.abs(vals, dtype=np.float64)
 
-    # mass-conservation check against the CSR rescaled Laplacian
-    L = graph.rescaled(scale)
-    row_abs = np.asarray(np.abs(L).sum(axis=1)).ravel()
+    # padded-activation embedding geometry (rows to a sublane multiple,
+    # lanes to a lane-tile multiple, so fused-kernel band DMAs stay aligned)
+    P = nside + 2 * n_steps
+    P_r = nside + -(-2 * n_steps // 8) * 8
+    P_l = -(-P // 128) * 128
+
+    use_native = (
+        getattr(graph, "_ell_L", None) is not None and native.available()
+    )
+    if use_native:
+        # weight planes extracted in one native pass, already embedded
+        w_emb = native.stencil_weights(nside, n_steps, ell_idx, ell_val)
+        weights = np.ascontiguousarray(
+            w_emb[:, :, 1 : 1 + Pw, 1 : 1 + Pw]
+        ).reshape(9, -1)
+    else:
+        # weight planes: w[d, f, u, v] = L[pix(f,u,v), pix((f,u,v)+d)]
+        weights = np.zeros((9, 12 * Pw * Pw), dtype=np.float32)
+        for d, (dx, dy) in enumerate(STENCIL_OFFSETS):
+            nbr = hm[:, 1 + dx : 1 + dx + Pw, 1 + dy : 1 + dy + Pw].reshape(-1)
+            valid = (rows_flat >= 0) & (nbr >= 0)
+            vals = np.zeros(rows_flat.shape[0], dtype=np.float32)
+            vals[valid] = _lookup_entries(
+                ell_idx, ell_val, rows_flat[valid], nbr[valid]
+            )
+            weights[d] = vals
+        w_emb = np.zeros((9, 12, P_r, P_l), dtype=np.float32)
+        w_emb[:, :, 1 : 1 + Pw, 1 : 1 + Pw] = weights.reshape(9, 12, Pw, Pw)
+
+    # mass-conservation check against the ELLPACK row sums
+    captured_abs = np.abs(weights.astype(np.float64)).sum(axis=0)
+    row_abs = np.abs(ell_val.astype(np.float64)).sum(axis=1)
     real = rows_flat >= 0
     expect = row_abs[rows_flat[real]]
     got = captured_abs[real]
@@ -251,7 +271,12 @@ def face_stencil(graph, scale, n_steps=1):
     corrupt_rows = np.zeros(0, dtype=np.int64)
     corr = {}
     if n_steps > 1 and np.any(incomplete):
-        nb = hp.neighbors_nest(nside, np.arange(npix, dtype=np.int64))
+        if getattr(graph, "_nb_w", None) is not None:
+            nb = graph._nb_w[0]
+        elif native.available():
+            nb = native.neighbors_nest(nside)
+        else:
+            nb = hp.neighbors_nest(nside, np.arange(npix, dtype=np.int64))
 
         def bfs(seed_set, hops):
             reach = set(seed_set.tolist())
@@ -274,17 +299,15 @@ def face_stencil(graph, scale, n_steps=1):
         # the corrupt rows themselves
         ball = bfs(corrupt_rows, n_steps)
         local = {int(g): i for i, g in enumerate(ball)}
-        Lr = graph.rescaled(scale).tocsr()
-        Wl = max(int(np.diff(Lr.indptr).max()), 1)
+        # ball-local ELLPACK straight from the rescaled ELLPACK rows
+        # (out-of-ball cols only matter in the invalid outer shell; clamp.
+        # self-pointing zero-padded entries clamp harmlessly too)
+        Wl = ell_idx.shape[1]
         corr_idx = np.zeros((len(ball), Wl), dtype=np.int32)
         corr_val = np.zeros((len(ball), Wl), dtype=np.float32)
         for i, g in enumerate(ball):
-            sl = slice(Lr.indptr[g], Lr.indptr[g + 1])
-            cols = Lr.indices[sl]
-            vals = Lr.data[sl]
-            # out-of-ball cols only matter in the invalid outer shell; clamp
-            corr_idx[i, : len(cols)] = [local.get(int(c), 0) for c in cols]
-            corr_val[i, : len(cols)] = vals
+            corr_idx[i] = [local.get(int(c), 0) for c in ell_idx[g]]
+            corr_val[i] = ell_val[g]
         f2n_full = face2nest_index(nside)
         corr = dict(
             corr_src=f2n_full[ball].astype(np.int32),
@@ -312,16 +335,6 @@ def face_stencil(graph, scale, n_steps=1):
     north_src, north_mask = strip(hmP[:, s : s + nside, s + nside :])  # (12, n, s)
 
     n2f = halo_map(nside, 0).reshape(-1).astype(np.int32)
-
-    # re-embed the weight planes into padded-activation coordinates
-    # (face coord (x, y) -> index (x + n_steps, y + n_steps)); rows padded
-    # to a sublane multiple and lanes to a lane-tile multiple so the fused
-    # kernel's band DMAs stay aligned
-    P = nside + 2 * n_steps
-    P_r = nside + -(-2 * n_steps // 8) * 8
-    P_l = -(-P // 128) * 128
-    w_emb = np.zeros((9, 12, P_r, P_l), dtype=np.float32)
-    w_emb[:, :, 1 : 1 + Pw, 1 : 1 + Pw] = weights.reshape(9, 12, Pw, Pw)
 
     return FaceStencil(
         nside=nside,

@@ -1,0 +1,400 @@
+// Native host-precompute core for deepsphere_tpu.
+//
+// The reference delegates its geometry and graph construction to native
+// libraries (healpy's C++ HEALPix core, scipy/ARPACK, sklearn's BallTree —
+// see SURVEY.md §2.1).  This is the TPU framework's equivalent: a small
+// C-ABI library that produces, in one pass, everything the device needs
+// for a grid-structured sphere graph at a given nside —
+//
+//   * the NEST 8-neighbor table,
+//   * pixel center unit vectors,
+//   * Gaussian edge weights + the symmetric-normalized Laplacian in padded
+//     ELLPACK layout (fixed width 9),
+//   * lmax via Lanczos on the fixed-degree matvec,
+//   * the rescaled-Laplacian face-stencil weight planes (padded-activation
+//     coordinates, see graph/stencil.py),
+//
+// replacing minutes of numpy/scipy time at nside >= 1024 with seconds.
+// Exposed through ctypes (deepsphere_tpu/native/__init__.py); the Python
+// implementations remain as the portable fallback and as the test oracle.
+
+#include <cstdint>
+#include <cmath>
+#include <cstring>
+#include <vector>
+
+using i64 = int64_t;
+using i32 = int32_t;
+
+// ---------------------------------------------------------------------------
+// bit interleaving
+// ---------------------------------------------------------------------------
+
+static inline i64 spread_bits(i64 v) {
+    v &= 0xFFFFFFFFll;
+    v = (v | (v << 16)) & 0x0000FFFF0000FFFFll;
+    v = (v | (v << 8)) & 0x00FF00FF00FF00FFll;
+    v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0Fll;
+    v = (v | (v << 2)) & 0x3333333333333333ll;
+    v = (v | (v << 1)) & 0x5555555555555555ll;
+    return v;
+}
+
+static inline i64 compress_bits(i64 v) {
+    v &= 0x5555555555555555ll;
+    v = (v | (v >> 1)) & 0x3333333333333333ll;
+    v = (v | (v >> 2)) & 0x0F0F0F0F0F0F0F0Fll;
+    v = (v | (v >> 4)) & 0x00FF00FF00FF00FFll;
+    v = (v | (v >> 8)) & 0x0000FFFF0000FFFFll;
+    v = (v | (v >> 16)) & 0x00000000FFFFFFFFll;
+    return v;
+}
+
+static inline i64 xyf2nest(i64 nside, i64 ix, i64 iy, i64 face, int order) {
+    return (face << (2 * order)) + (spread_bits(ix) | (spread_bits(iy) << 1));
+}
+
+static inline void nest2xyf(i64 nside, i64 pix, int order,
+                            i64* ix, i64* iy, i64* face) {
+    *face = pix >> (2 * order);
+    i64 within = pix & (nside * nside - 1);
+    *ix = compress_bits(within);
+    *iy = compress_bits(within >> 1);
+}
+
+static inline int ilog2(i64 v) {
+    int r = 0;
+    while (v > 1) { v >>= 1; ++r; }
+    return r;
+}
+
+// ---------------------------------------------------------------------------
+// face-transition tables (healpix_base neighbor algorithm layout)
+// ---------------------------------------------------------------------------
+
+static const i64 NB_XOFFSET[8] = {-1, -1, 0, 1, 1, 1, 0, -1};
+static const i64 NB_YOFFSET[8] = {0, 1, 1, 1, 0, -1, -1, -1};
+static const i64 NB_FACEARRAY[9][12] = {
+    {8, 9, 10, 11, -1, -1, -1, -1, 10, 11, 8, 9},
+    {5, 6, 7, 4, 8, 9, 10, 11, 9, 10, 11, 8},
+    {-1, -1, -1, -1, 5, 6, 7, 4, -1, -1, -1, -1},
+    {4, 5, 6, 7, 11, 8, 9, 10, 11, 8, 9, 10},
+    {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11},
+    {1, 2, 3, 0, 0, 1, 2, 3, 5, 6, 7, 4},
+    {-1, -1, -1, -1, 7, 4, 5, 6, -1, -1, -1, -1},
+    {3, 0, 1, 2, 3, 0, 1, 2, 4, 5, 6, 7},
+    {2, 3, 0, 1, -1, -1, -1, -1, 0, 1, 2, 3},
+};
+static const i64 NB_SWAPARRAY[9][3] = {
+    {0, 0, 3}, {0, 0, 6}, {0, 0, 0}, {0, 0, 5}, {0, 0, 0},
+    {5, 0, 0}, {0, 0, 0}, {6, 0, 0}, {3, 0, 0},
+};
+
+// global NEST pixel at (possibly out-of-face) coordinates; -1 if none.
+// valid for overhangs < nside (single face crossing).
+static i64 face_coords_to_pix(i64 nside, int order, i64 x, i64 y, i64 face) {
+    i64 nsm1 = nside - 1;
+    int xs = x < 0 ? -1 : (x > nsm1 ? 1 : 0);
+    int ys = y < 0 ? -1 : (y > nsm1 ? 1 : 0);
+    if (xs == 0 && ys == 0) return xyf2nest(nside, x, y, face, order);
+    i64 nbnum = 4 + xs + 3 * ys;
+    i64 nbf = NB_FACEARRAY[nbnum][face];
+    if (nbf < 0) return -1;
+    i64 bits = NB_SWAPARRAY[nbnum][face >> 2];
+    i64 xw = x & nsm1;
+    i64 yw = y & nsm1;
+    i64 xw2 = (bits & 1) ? nsm1 - xw : xw;
+    i64 yw2 = (bits & 2) ? nsm1 - yw : yw;
+    i64 xf = (bits & 4) ? yw2 : xw2;
+    i64 yf = (bits & 4) ? xw2 : yw2;
+    return xyf2nest(nside, xf, yf, nbf, order);
+}
+
+// ---------------------------------------------------------------------------
+// geometry
+// ---------------------------------------------------------------------------
+
+static const i64 JRLL[12] = {2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4};
+static const i64 JPLL[12] = {1, 3, 5, 7, 0, 2, 4, 6, 1, 3, 5, 7};
+
+static inline void xyf2vec(i64 nside, i64 ix, i64 iy, i64 face,
+                           double* vx, double* vy, double* vz) {
+    const double PI = 3.14159265358979323846;
+    i64 npix = 12 * nside * nside;
+    i64 nl4 = 4 * nside;
+    i64 jr = JRLL[face] * nside - ix - iy - 1;
+
+    bool north = jr < nside;
+    bool south = jr > 3 * nside;
+    i64 nr = north ? jr : (south ? nl4 - jr : nside);
+
+    double fact2 = 4.0 / (double)npix;
+    double fact1 = (double)(nside * 2) * fact2;
+    double z = north ? 1.0 - (double)(nr * nr) * fact2
+                     : (south ? -1.0 + (double)(nr * nr) * fact2
+                              : (double)(2 * nside - jr) * fact1);
+    i64 kshift = (north || south) ? 0 : ((jr - nside) & 1);
+
+    i64 jp = (JPLL[face] * nr + ix - iy + 1 + kshift) / 2;
+    if (jp > nl4) jp -= nl4;
+    if (jp < 1) jp += nl4;
+
+    double phi = ((double)jp - (kshift + 1) * 0.5) * (PI / 2.0) / (double)nr;
+    double st = std::sqrt(1.0 - z * z);
+    *vx = st * std::cos(phi);
+    *vy = st * std::sin(phi);
+    *vz = z;
+}
+
+extern "C" {
+
+// (npix, 3) pixel center unit vectors, NEST order
+void ds_pix2vec_nest(i64 nside, double* out) {
+    int order = ilog2(nside);
+    i64 npix = 12 * nside * nside;
+    for (i64 p = 0; p < npix; ++p) {
+        i64 ix, iy, face;
+        nest2xyf(nside, p, order, &ix, &iy, &face);
+        xyf2vec(nside, ix, iy, face, out + 3 * p, out + 3 * p + 1, out + 3 * p + 2);
+    }
+}
+
+// (npix, 8) NEST grid neighbors (SW,W,NW,N,NE,E,SE,S), -1 where none
+void ds_neighbors_nest(i64 nside, i64* out) {
+    int order = ilog2(nside);
+    i64 npix = 12 * nside * nside;
+    for (i64 p = 0; p < npix; ++p) {
+        i64 ix, iy, face;
+        nest2xyf(nside, p, order, &ix, &iy, &face);
+        if (ix > 0 && ix < nside - 1 && iy > 0 && iy < nside - 1) {
+            // interior fast path: all neighbors stay on this face; their
+            // NEST ids differ from p only in the interleaved x/y bits
+            i64 fb = face << (2 * order);
+            i64 xm = spread_bits(ix - 1), x0 = spread_bits(ix), xp = spread_bits(ix + 1);
+            i64 ym = spread_bits(iy - 1) << 1, y0 = spread_bits(iy) << 1,
+                yp = spread_bits(iy + 1) << 1;
+            out[8 * p + 0] = fb + (xm | y0);  // SW (-1, 0)
+            out[8 * p + 1] = fb + (xm | yp);  // W  (-1, 1)
+            out[8 * p + 2] = fb + (x0 | yp);  // NW (0, 1)
+            out[8 * p + 3] = fb + (xp | yp);  // N  (1, 1)
+            out[8 * p + 4] = fb + (xp | y0);  // NE (1, 0)
+            out[8 * p + 5] = fb + (xp | ym);  // E  (1, -1)
+            out[8 * p + 6] = fb + (x0 | ym);  // SE (0, -1)
+            out[8 * p + 7] = fb + (xm | ym);  // S  (-1, -1)
+            continue;
+        }
+        for (int d = 0; d < 8; ++d) {
+            out[8 * p + d] = face_coords_to_pix(
+                nside, order, ix + NB_XOFFSET[d], iy + NB_YOFFSET[d], face);
+        }
+    }
+}
+
+// Grid-graph rescaled Laplacian, one pass.
+//
+// Outputs (caller-allocated):
+//   nb        (npix, 8) i64   neighbor table (-1 padded)
+//   w         (npix, 8) f64   Gaussian edge weights (0 where no neighbor)
+//   ell_idx   (npix, 9) i32   UNSCALED normalized-Laplacian ELLPACK columns:
+//                             slot d in 0..7 = neighbor in direction d
+//                             (self-pointing 0 where absent), slot 8 = diag
+//   ell_val   (npix, 9) f64   matching Laplacian values (diag = 1)
+//   params    [kernel_width_used, lmax]  f64
+//
+// Callers apply the reference rescale (utils.py:40-46) per scale as
+//   val_s = (2 scale / lmax) * val;  val_s[:, 8] -= 1.
+// kernel_width <= 0 selects the mean neighbor distance.  lmax is estimated
+// with `lanczos_iters` Lanczos steps (no reorthogonalization — ample for an
+// extreme eigenvalue under the 1.02 safety margin) and multiplied by 1.02.
+void ds_grid_laplacian(i64 nside, double kernel_width,
+                       int lanczos_iters,
+                       i64* nb, double* w, i32* ell_idx, double* ell_val,
+                       double* params) {
+    i64 npix = 12 * nside * nside;
+    ds_neighbors_nest(nside, nb);
+
+    std::vector<double> vec(3 * npix);
+    ds_pix2vec_nest(nside, vec.data());
+
+    // squared chord distances + mean distance
+    std::vector<double> d2(8 * npix, 0.0);
+    double dist_sum = 0.0;
+    i64 dist_cnt = 0;
+    for (i64 p = 0; p < npix; ++p) {
+        for (int d = 0; d < 8; ++d) {
+            i64 q = nb[8 * p + d];
+            if (q < 0) continue;
+            double dx = vec[3 * p] - vec[3 * q];
+            double dy = vec[3 * p + 1] - vec[3 * q + 1];
+            double dz = vec[3 * p + 2] - vec[3 * q + 2];
+            double dd = dx * dx + dy * dy + dz * dz;
+            d2[8 * p + d] = dd;
+            dist_sum += std::sqrt(dd);
+            ++dist_cnt;
+        }
+    }
+    double kw = kernel_width > 0 ? kernel_width : dist_sum / (double)dist_cnt;
+    params[0] = kw;
+
+    // Gaussian weights + degrees
+    std::vector<double> deg(npix, 0.0);
+    for (i64 p = 0; p < npix; ++p) {
+        for (int d = 0; d < 8; ++d) {
+            i64 q = nb[8 * p + d];
+            double wv = (q >= 0) ? std::exp(-d2[8 * p + d] / (2.0 * kw * kw)) : 0.0;
+            w[8 * p + d] = wv;
+            deg[p] += wv;
+        }
+    }
+
+    // normalized Laplacian entries: diag 1, offdiag -w/sqrt(di dj)
+    std::vector<double> dinv(npix);
+    for (i64 p = 0; p < npix; ++p)
+        dinv[p] = deg[p] > 0 ? 1.0 / std::sqrt(deg[p]) : 0.0;
+
+    // unscaled ELLPACK first (it doubles as the Lanczos operator; float
+    // offdiagonals halve the matvec's memory traffic)
+    std::vector<float> offv(8 * npix);
+    std::vector<i32> offc(8 * npix);
+    for (i64 p = 0; p < npix; ++p) {
+        double dp = dinv[p];
+        for (int d = 0; d < 8; ++d) {
+            i64 q = nb[8 * p + d];
+            offc[8 * p + d] = (i32)(q >= 0 ? q : p);
+            offv[8 * p + d] = q >= 0 ? (float)(-w[8 * p + d] * dp * dinv[q]) : 0.0f;
+        }
+    }
+
+    auto matvec = [&](const float* x, float* y) {
+        for (i64 p = 0; p < npix; ++p) {
+            float acc = x[p];  // unit diagonal
+            const i32* cp = offc.data() + 8 * p;
+            const float* vp = offv.data() + 8 * p;
+            for (int d = 0; d < 8; ++d) acc += vp[d] * x[cp[d]];
+            y[p] = acc;
+        }
+    };
+
+    // plain Lanczos: tridiagonal (alpha, beta), largest Ritz value
+    int m = lanczos_iters;
+    std::vector<float> v_prev(npix, 0.0f), v_cur(npix), v_next(npix);
+    std::vector<double> alpha(m), beta(m, 0.0);
+    // deterministic start vector
+    double nrm0 = 1.0 / std::sqrt((double)npix);
+    for (i64 p = 0; p < npix; ++p) v_cur[p] = (float)(nrm0 * ((p % 7) - 3.0 + 0.5));
+    double nn = 0.0;
+    for (i64 p = 0; p < npix; ++p) nn += (double)v_cur[p] * v_cur[p];
+    nn = 1.0 / std::sqrt(nn);
+    for (i64 p = 0; p < npix; ++p) v_cur[p] = (float)(v_cur[p] * nn);
+
+    int steps = 0;
+    for (int j = 0; j < m; ++j) {
+        matvec(v_cur.data(), v_next.data());
+        double a = 0.0;
+        for (i64 p = 0; p < npix; ++p) a += (double)v_cur[p] * v_next[p];
+        alpha[j] = a;
+        float af = (float)a;
+        float bf = j > 0 ? (float)beta[j - 1] : 0.0f;
+        for (i64 p = 0; p < npix; ++p)
+            v_next[p] -= af * v_cur[p] + bf * v_prev[p];
+        double b = 0.0;
+        for (i64 p = 0; p < npix; ++p) b += (double)v_next[p] * v_next[p];
+        b = std::sqrt(b);
+        steps = j + 1;
+        if (b < 1e-7) break;
+        beta[j] = b;
+        float binv = (float)(1.0 / b);
+        for (i64 p = 0; p < npix; ++p) {
+            v_prev[p] = v_cur[p];
+            v_cur[p] = v_next[p] * binv;
+        }
+    }
+    // largest eigenvalue of the tridiagonal via bisection-free QL-lite:
+    // simple symmetric tridiagonal eigenvalue by iterating the power method
+    // on the small (steps x steps) dense matrix.
+    int s = steps;
+    std::vector<double> T(s * s, 0.0), tv(s, 1.0 / std::sqrt((double)s)), tw(s);
+    for (int j = 0; j < s; ++j) {
+        T[j * s + j] = alpha[j];
+        if (j + 1 < s) {
+            T[j * s + j + 1] = beta[j];
+            T[(j + 1) * s + j] = beta[j];
+        }
+    }
+    double lmax = 0.0;
+    for (int it = 0; it < 500; ++it) {
+        for (int r = 0; r < s; ++r) {
+            double acc = 0.0;
+            for (int c = 0; c < s; ++c) acc += T[r * s + c] * tv[c];
+            tw[r] = acc;
+        }
+        double nrm = 0.0;
+        for (int r = 0; r < s; ++r) nrm += tw[r] * tw[r];
+        nrm = std::sqrt(nrm);
+        if (nrm == 0.0) break;
+        lmax = nrm;
+        for (int r = 0; r < s; ++r) tv[r] = tw[r] / nrm;
+    }
+    lmax *= 1.02;  // reference safety margin (gnn_layers.py:66)
+    params[1] = lmax;
+
+    // unscaled-Laplacian ELLPACK, direction-aligned slots (f64 values from
+    // the exact formula; offv was the float Lanczos operator)
+    for (i64 p = 0; p < npix; ++p) {
+        double dp = dinv[p];
+        for (int d = 0; d < 8; ++d) {
+            i64 q = nb[8 * p + d];
+            ell_idx[9 * p + d] = offc[8 * p + d];
+            ell_val[9 * p + d] = q >= 0 ? -w[8 * p + d] * dp * dinv[q] : 0.0;
+        }
+        ell_idx[9 * p + 8] = (i32)p;
+        ell_val[9 * p + 8] = 1.0;
+    }
+}
+
+// Stencil weight planes of a rescaled grid Laplacian, in padded-activation
+// coordinates (see graph/stencil.py): out has shape (9, 12, P_r, P_l) with
+// P_r = nside + round_up(2 n_steps, 8), P_l = round_up(nside + 2 n_steps,
+// 128); entry [d, f, x + n_steps, y + n_steps] weighs face coord (x, y).
+// Directions 0..7 follow NB offsets; 8 is the center.  Requires the
+// neighbor table and the rescaled ELLPACK from ds_grid_laplacian.
+void ds_stencil_weights(i64 nside, i64 n_steps,
+                        const i32* ell_idx, const float* ell_val,
+                        float* out) {
+    int order = ilog2(nside);
+    i64 h = n_steps - 1;  // weight coverage depth
+    i64 P_r = nside + ((2 * n_steps + 7) / 8) * 8;
+    i64 P_l = ((nside + 2 * n_steps + 127) / 128) * 128;
+    std::memset(out, 0, sizeof(float) * 9 * 12 * P_r * P_l);
+
+    auto lookup = [&](i64 row, i64 colq) -> float {
+        const i32* ir = ell_idx + 9 * row;
+        const float* vr = ell_val + 9 * row;
+        float acc = 0.0f;
+        for (int t = 0; t < 9; ++t)
+            if (ir[t] == (i32)colq) acc += vr[t];
+        return acc;
+    };
+
+    for (i64 f = 0; f < 12; ++f) {
+        for (i64 x = -h; x < nside + h; ++x) {
+            for (i64 y = -h; y < nside + h; ++y) {
+                i64 p = face_coords_to_pix(nside, order, x, y, f);
+                if (p < 0) continue;
+                i64 base_r = x + n_steps;
+                i64 base_c = y + n_steps;
+                float* cell = out + ((0 * 12 + f) * P_r + base_r) * P_l + base_c;
+                i64 plane = 12 * P_r * P_l;
+                for (int d = 0; d < 8; ++d) {
+                    i64 q = face_coords_to_pix(
+                        nside, order, x + NB_XOFFSET[d], y + NB_YOFFSET[d], f);
+                    if (q < 0) continue;
+                    cell[d * plane] = lookup(p, q);
+                }
+                cell[8 * plane] = lookup(p, p);
+            }
+        }
+    }
+}
+
+}  // extern "C"
