@@ -58,17 +58,22 @@ def _accepts_training(layer):
 
 
 class SequentialModel(nn.Module):
-    """Sequential container passing ``training`` to layers that accept it."""
+    """Sequential container passing ``training`` to layers that accept it.
+
+    Each layer runs under a ``jax.named_scope`` so per-layer costs show up
+    in ``jax.profiler`` traces (the reference has no tracing at all —
+    SURVEY.md §5)."""
 
     layers: Tuple[Any, ...]
 
     @nn.compact
     def __call__(self, x, training=False):
-        for layer in self.layers:
-            if _accepts_training(layer):
-                x = layer(x, training=training)
-            else:
-                x = layer(x)
+        for i, layer in enumerate(self.layers):
+            with jax.named_scope(f"{type(layer).__name__}_{i}"):
+                if _accepts_training(layer):
+                    x = layer(x, training=training)
+                else:
+                    x = layer(x)
         return x
 
 
