@@ -113,7 +113,7 @@ def _band_dma(xpad_ref, wpad_ref, xw_ref, w_ref, sem_x, sem_w, Tr, Sd):
     f = pl.program_id(0)
     i = pl.program_id(1)
     cx = pltpu.make_async_copy(
-        xpad_ref.at[f, :, pl.ds(i * Tr, Sd), :], xw_ref, sem_x
+        xpad_ref.at[:, f, pl.ds(i * Tr, Sd), :], xw_ref, sem_x
     )
     cw = pltpu.make_async_copy(
         wpad_ref.at[:, f, pl.ds(i * Tr, Sd), :], w_ref, sem_w
@@ -161,11 +161,11 @@ def _stencil_kernel(kind, K, Tr, Sr, Sd, P, n, C, Cout, B, Fin, Fout,
                     xw_ref, w_ref, sem_x, sem_w):
     """One (face, band) output tile.
 
-    xpad_ref: (12, C, P_r, P) channels-first in HBM (rows padded to P_r so
+    xpad_ref: (C, 12, P_r, P) channels-first in HBM (rows padded to P_r so
     every band DMA is sublane-aligned); wpad_ref: (9, 12, P_r, P) in the
     same coordinates.  wk_ref: (K, Fin, Fout) scalar coefficients in SMEM.
     xw_ref: (C, Sd, P) scratch; w_ref: (9, Sd, P).  out_ref:
-    (1, Cout, Tr, n) — channel-first so the lane dim is n (face cols).
+    (Cout, 1, Tr, n) — channel-first so the lane dim is n (face cols).
     """
     _band_dma(xpad_ref, wpad_ref, xw_ref, w_ref, sem_x, sem_w, Tr, Sd)
     h = (Sr - Tr) // 2
@@ -187,7 +187,7 @@ def _stencil_kernel(kind, K, Tr, Sr, Sd, P, n, C, Cout, B, Fin, Fout,
                 acc[b * Fout + fo] = s
 
     res = jnp.stack(acc, axis=0)  # (Cout, Tr, P)
-    out_ref[0] = res[:, :, h : h + n].astype(out_ref.dtype)
+    out_ref[:, 0] = res[:, :, h : h + n].astype(out_ref.dtype)
 
 
 def _grad_kernel(kind, K, Tr, Sr, Sd, P, n, C, Cout, B, Fin, Fout,
@@ -195,7 +195,7 @@ def _grad_kernel(kind, K, Tr, Sr, Sd, P, n, C, Cout, B, Fin, Fout,
                  xw_ref, w_ref, sem_x, sem_w):
     """Accumulates dW[k, fi, fo] = sum_bands sum_b <T_k(x)[b, fi], dy[b, fo]>.
 
-    dy_ref: (1, Cout, Tr, P) block, pre-shifted by h lanes so it aligns
+    dy_ref: (Cout, 1, Tr, P) block, pre-shifted by h lanes so it aligns
     with the band window's padded coordinates (zeros elsewhere — they
     also mask the window's wrap-around garbage lanes).  out_ref:
     (K*Fin, Fout), shared across the (sequential) TPU grid.
@@ -206,7 +206,7 @@ def _grad_kernel(kind, K, Tr, Sr, Sd, P, n, C, Cout, B, Fin, Fout,
     w = w_ref[:, :Sr, :]
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
-    dy = dy_ref[0]  # (Cout, Tr, P)
+    dy = dy_ref[:, 0]  # (Cout, Tr, P)
     rows = []  # assembled as (K*Fin, Fout) — Mosaic rejects scalar stacks
     for k, t in enumerate(_term_stream(kind, K, Sr, P, w, x0)):
         ctr = t[:, h : h + Tr, :]  # (C, Tr, P)
@@ -235,10 +235,10 @@ def _grad_kernel(kind, K, Tr, Sr, Sd, P, n, C, Cout, B, Fin, Fout,
 def _run_stencil_kernel(st, kind, n_terms, xpad, wpad, wk3, B, interpret):
     """pallas_call plumbing for the forward/dx kernel.
 
-    xpad: (12, C, P_r, P) channels-first, rows padded; wpad: (9, 12, P_r, P)
-    in xpad coordinates; wk3: (K, Fin, Fout).  Returns (12, Cout, n, n) f32.
+    xpad: (C, 12, P_r, P) channels-first, rows padded; wpad: (9, 12, P_r, P)
+    in xpad coordinates; wk3: (K, Fin, Fout).  Returns (Cout, 12, n, n) f32.
     """
-    C = xpad.shape[1]
+    C = xpad.shape[0]
     K, Fin, Fout = wk3.shape
     Cout = B * Fout
     n, h, P, rh, Tr, Sr, Sd = _band_geometry(st, C, Cout)
@@ -254,10 +254,10 @@ def _run_stencil_kernel(st, kind, n_terms, xpad, wpad, wk3, B, interpret):
             pl.BlockSpec(memory_space=pl.ANY),  # wpad — bands DMA'd
         ],
         out_specs=pl.BlockSpec(
-            (1, Cout, Tr, n), lambda f, i: (f, 0, i, 0),
+            (Cout, 1, Tr, n), lambda f, i: (0, f, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((12, Cout, n, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Cout, 12, n, n), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((C, Sd, P), jnp.float32),
             pltpu.VMEM((9, Sd, P), jnp.float32),
@@ -272,14 +272,14 @@ def _run_stencil_kernel(st, kind, n_terms, xpad, wpad, wk3, B, interpret):
 
 
 def _run_grad_kernel(st, kind, n_terms, xpad, wpad, dyp, B, Fin, interpret):
-    """dW (K, Fin, Fout) = per-term scalar contractions of the basis of x
+    """dW (K*Fin, Fout) = per-term scalar contractions of the basis of x
     with dy.
 
-    dyp: (12, Cout, n, P) channel-first, lane-aligned to the padded window
+    dyp: (Cout, 12, n, P) channel-first, lane-aligned to the padded window
     coordinates (see :func:`_grad_kernel`).
     """
-    C = xpad.shape[1]
-    Cout = dyp.shape[1]
+    C = xpad.shape[0]
+    Cout = dyp.shape[0]
     Fout = Cout // B
     K = n_terms
     n, h, P, rh, Tr, Sr, Sd = _band_geometry(st, C, Cout)
@@ -293,7 +293,7 @@ def _run_grad_kernel(st, kind, n_terms, xpad, wpad, dyp, B, Fin, interpret):
             pl.BlockSpec(memory_space=pl.ANY),  # xpad
             pl.BlockSpec(memory_space=pl.ANY),  # wpad
             pl.BlockSpec(
-                (1, Cout, Tr, P), lambda f, i: (f, 0, i, 0),
+                (Cout, 1, Tr, P), lambda f, i: (0, f, i, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -328,14 +328,33 @@ def _ball_spmv(idx, val, t):
     return y
 
 
-def _corrected_rows(tables, xflat, wk3, n_terms, kind, B):
-    """Exact conv outputs at the corrupt rows via the precomputed ball.
 
-    xflat: (12*n*n, C) face-flat input.  Returns (Rc, B*Fout).
+def _ball_terms(tables, x3, n_terms, kind):
+    """Exact per-term basis values over the correction ball.
+
+    x3: (C, 12, n, n) channels-first.  The ball is O(100) rows, so the
+    (C, Bn) gather + tiny transpose cost nothing; yields (Bn, C) per term.
     """
     idx = tables["corr_idx"]
     val = tables["corr_val"]
-    t = xflat[tables["corr_src"]].astype(jnp.float32)  # (Bn, C)
+    flat = x3.reshape(x3.shape[0], -1)
+    t = jnp.transpose(jnp.take(flat, tables["corr_src"], axis=1))
+    t = t.astype(jnp.float32)  # (Bn, C)
+    yield t
+    prev2, prev1 = None, t
+    for k in range(1, n_terms):
+        tk = _ball_spmv(idx, val, prev1)
+        if kind == "cheby" and k >= 2:
+            tk = 2.0 * tk - prev2
+        yield tk
+        prev2, prev1 = prev1, tk
+
+
+def _corrected_rows(tables, x3, wk3, n_terms, kind, B):
+    """Exact conv outputs at the corrupt rows via the precomputed ball.
+
+    Returns (Rc, B*Fout).
+    """
     out_rows = tables["corr_out_ball"]
     K, Fin, Fout = wk3.shape
     hi = jax.lax.Precision.HIGHEST
@@ -346,32 +365,20 @@ def _corrected_rows(tables, xflat, wk3, n_terms, kind, B):
             preferred_element_type=jnp.float32, precision=hi,
         ).reshape(-1, B * Fout)
 
-    acc = term_dot(t[out_rows], 0)
-    prev2, prev1 = None, t
-    for k in range(1, n_terms):
-        tk = _ball_spmv(idx, val, prev1)
-        if kind == "cheby" and k >= 2:
-            tk = 2.0 * tk - prev2
-        acc = acc + term_dot(tk[out_rows], k)
-        prev2, prev1 = prev1, tk
+    acc = None
+    for k, tk in enumerate(_ball_terms(tables, x3, n_terms, kind)):
+        d = term_dot(tk[out_rows], k)
+        acc = d if acc is None else acc + d
     return acc
 
 
-def _basis_at_rows(tables, xflat, n_terms, kind):
+def _basis_at_rows(tables, x3, n_terms, kind):
     """Exact per-term basis values at the corrupt rows: (K, Rc, C)."""
-    idx = tables["corr_idx"]
-    val = tables["corr_val"]
-    t = xflat[tables["corr_src"]].astype(jnp.float32)
     out_rows = tables["corr_out_ball"]
-    terms = [t[out_rows]]
-    prev2, prev1 = None, t
-    for k in range(1, n_terms):
-        tk = _ball_spmv(idx, val, prev1)
-        if kind == "cheby" and k >= 2:
-            tk = 2.0 * tk - prev2
-        terms.append(tk[out_rows])
-        prev2, prev1 = prev1, tk
-    return jnp.stack(terms, axis=0)
+    return jnp.stack(
+        [tk[out_rows] for tk in _ball_terms(tables, x3, n_terms, kind)],
+        axis=0,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -379,71 +386,96 @@ def _basis_at_rows(tables, xflat, n_terms, kind):
 # ---------------------------------------------------------------------------
 
 
-def _pad_faces_fused(st, tables, xf):
-    from .stencil import pad_faces
+def _assemble_padded(st, tables, x3):
+    """(C, 12, n, n) -> (C, 12, P_r, P_l): halo fill + row/lane alignment
+    padding in ONE materialization pass (nested concatenation — XLA fuses
+    it into a single output write; the strip gathers are O(nside) rows).
 
-    return pad_faces(st, xf, tables)
-
-
-def _make_xpad(st, tables, xf):
-    """(12, n, n, C) -> (12, C, P_r, P_l) channels-first, rows/lanes padded
-    so the fused kernel's band DMAs stay tile-aligned."""
-    rh = _round_up(2 * st.n_steps, 8)
-    P0 = st.nside + 2 * st.n_steps
+    Replaces the old pad + four dynamic-update-slice chain, which cost
+    several full HBM round trips per conv.
+    """
+    n, h = st.nside, st.n_steps
+    C = x3.shape[0]
+    P0 = n + 2 * h
     P_l = _round_up(P0, 128)
-    xpad = jnp.transpose(_pad_faces_fused(st, tables, xf), (0, 3, 1, 2))
-    return jnp.pad(
-        xpad, ((0, 0), (0, 0), (0, rh - 2 * st.n_steps), (0, P_l - P0))
+    P_r = n + _round_up(2 * h, 8)
+    f32 = jnp.float32
+    flat = x3.astype(f32).reshape(C, 12 * n * n)
+
+    def strip(name):
+        src = tables[f"{name}_src"]
+        mask = tables[f"{name}_mask"].astype(f32)
+        return jnp.take(flat, src.reshape(-1), axis=1).reshape(
+            (C,) + src.shape
+        ) * mask[None]
+
+    def zeros(*s):
+        return jnp.zeros((C, 12) + s, f32)
+
+    interior = jnp.concatenate(
+        [strip("south"), x3.astype(f32), strip("north"), zeros(n, P_l - P0)],
+        axis=3,
+    )  # (C, 12, n, P_l)
+    west = jnp.concatenate([strip("west"), zeros(h, P_l - P0)], axis=3)
+    east = jnp.concatenate([strip("east"), zeros(h, P_l - P0)], axis=3)
+    return jnp.concatenate(
+        [west, interior, east, zeros(P_r - n - 2 * h, P_l)], axis=2
     )
 
 
-def _forward(st, kind, n_terms, B, interpret, tables, xf2d, kernel):
-    """xf2d: (M, C) face-flat (C = B*Fin b-major) -> (M, Cout) face-flat."""
+def _forward_cf(st, kind, n_terms, B, interpret, tables, x3, kernel):
+    """x3: (C, 12, n, n) channels-first face images (C = B*Fin, b-major)
+    -> (Cout, 12, n, n)."""
     n = st.nside
-    M = 12 * n * n
-    C = xf2d.shape[-1]
+    C = x3.shape[0]
     Fin = C // B
     Fout = kernel.shape[-1]
-    Cout = B * Fout
 
     wk3 = jnp.transpose(
         kernel.astype(jnp.float32).reshape(Fin, n_terms, Fout), (1, 0, 2)
     )  # (K, Fin, Fout)
-    xf = xf2d.astype(jnp.float32).reshape(12, n, n, C)
-    xpad = _make_xpad(st, tables, xf)
+    xpad = _assemble_padded(st, tables, x3)
     wpad = tables["weights"].astype(jnp.float32)  # already (9, 12, P_r, P_l)
     y = _run_stencil_kernel(st, kind, n_terms, xpad, wpad, wk3, B, interpret)
-    y = jnp.transpose(y, (0, 2, 3, 1)).reshape(M, Cout)
     if tables["corr_src"].shape[0]:
-        y_fix = _corrected_rows(tables, xf2d, wk3, n_terms, kind, B)
-        y = y.at[tables["corr_out_face"]].set(y_fix)
+        y_fix = _corrected_rows(tables, x3, wk3, n_terms, kind, B)  # (Rc, Cout)
+        Cout = y.shape[0]
+        y = (
+            y.reshape(Cout, -1)
+            .at[:, tables["corr_out_face"]]
+            .set(jnp.transpose(y_fix))
+            .reshape(y.shape)
+        )
     return y
 
 
-def fused_stencil_conv(st: FaceStencil, tables, xf2d, kernel, n_terms, kind, B,
-                       interpret=False):
-    """Fused K-term polynomial graph conv on face-flat activations.
+def fused_stencil_conv_cf(st: FaceStencil, tables, x3, kernel, n_terms, kind,
+                          B, interpret=False):
+    """Fused K-term polynomial graph conv on channels-first face images.
+
+    This is the zero-permutation hot path: input and output share the
+    kernel's native layout, so a chain of convs (the model's face-native
+    mode) runs with no transposes at all.
 
     :param st: FaceStencil built with ``n_steps = n_terms - 1``
     :param tables: device arrays (``stencil_tables(st)`` + correction arrays)
-    :param xf2d: (M, B*Fin) face-flat activations, batch-major channels
+    :param x3: (B*Fin, 12, n, n) face images, batch-major channels
     :param kernel: (Fin*n_terms, Fout)
     :param B: static batch size (the channel packing)
-    :return: (M, B*Fout) face-flat, float32
+    :return: (B*Fout, 12, n, n), float32
     """
 
     @partial(jax.custom_vjp, nondiff_argnums=())
-    def conv(tables, xf2d, kernel):
-        return _forward(st, kind, n_terms, B, interpret, tables, xf2d, kernel)
+    def conv(tables, x3, kernel):
+        return _forward_cf(st, kind, n_terms, B, interpret, tables, x3, kernel)
 
-    def fwd(tables, xf2d, kernel):
-        return conv(tables, xf2d, kernel), (tables, xf2d, kernel)
+    def fwd(tables, x3, kernel):
+        return conv(tables, x3, kernel), (tables, x3, kernel)
 
     def bwd(res, dy):
-        tables, xf2d, kernel = res
+        tables, x3, kernel = res
         n = st.nside
-        M = 12 * n * n
-        C = xf2d.shape[-1]
+        C = x3.shape[0]
         Fin = C // B
         Fout = kernel.shape[-1]
         Cout = B * Fout
@@ -456,32 +488,36 @@ def fused_stencil_conv(st: FaceStencil, tables, xf2d, kernel, n_terms, kind, B,
             .transpose(2, 1, 0)
             .reshape(Fout * n_terms, Fin)
         )
-        dx = _forward(st, kind, n_terms, B, interpret, tables, dy, kernel_t)
-        dx = dx.astype(xf2d.dtype)
+        dx = _forward_cf(st, kind, n_terms, B, interpret, tables, dy, kernel_t)
+        dx = dx.astype(x3.dtype)
 
         # dW: per-term scalar contractions over the same band windows;
         # corrupt rows contribute through the exact ball basis instead of
         # the kernel's garbage values
         wpad = tables["weights"].astype(jnp.float32)
-        xf = xf2d.astype(jnp.float32).reshape(12, n, n, C)
-        xpad = _make_xpad(st, tables, xf)
+        xpad = _assemble_padded(st, tables, x3)
         has_corr = bool(tables["corr_src"].shape[0])
-        dy_clean = (
-            dy.at[tables["corr_out_face"]].set(0.0) if has_corr else dy
-        )
+        if has_corr:
+            dy_clean = (
+                dy.reshape(Cout, -1)
+                .at[:, tables["corr_out_face"]]
+                .set(0.0)
+                .reshape(dy.shape)
+            )
+        else:
+            dy_clean = dy
         # lane-shift dy by h so it lines up with the window's padded coords
         h = st.n_steps
         P_l = _round_up(n + 2 * h, 128)
-        dyp = jnp.pad(
-            jnp.transpose(dy_clean.reshape(12, n, n, Cout), (0, 3, 1, 2)),
-            ((0, 0), (0, 0), (0, 0), (h, P_l - n - h)),
-        )
+        dyp = jnp.pad(dy_clean, ((0, 0), (0, 0), (0, 0), (h, P_l - n - h)))
         dwk = _run_grad_kernel(
             st, kind, n_terms, xpad, wpad, dyp, B, Fin, interpret,
         ).reshape(n_terms, Fin, Fout)
         if has_corr:
-            basis = _basis_at_rows(tables, xf2d, n_terms, kind)  # (K, Rc, C)
-            dy_rc = dy[tables["corr_out_face"]]  # (Rc, Cout)
+            basis = _basis_at_rows(tables, x3, n_terms, kind)  # (K, Rc, C)
+            dy_rc = jnp.transpose(
+                dy.reshape(Cout, -1)[:, tables["corr_out_face"]]
+            )  # (Rc, Cout)
             dwk = dwk + jnp.einsum(
                 "krbf,rbo->kfo",
                 basis.reshape(n_terms, -1, B, Fin),
@@ -497,4 +533,21 @@ def fused_stencil_conv(st: FaceStencil, tables, xf2d, kernel, n_terms, kind, B,
         return (dtables, dx, dkernel)
 
     conv.defvjp(fwd, bwd)
-    return conv(tables, xf2d, kernel)
+    return conv(tables, x3, kernel)
+
+
+def fused_stencil_conv(st: FaceStencil, tables, xf2d, kernel, n_terms, kind, B,
+                       interpret=False):
+    """Fused conv on (M, C) face-flat activations — thin transpose wrapper
+    around :func:`fused_stencil_conv_cf` (autodiff handles the transposes).
+
+    :param xf2d: (M, B*Fin) face-flat activations, batch-major channels
+    :return: (M, B*Fout) face-flat, float32
+    """
+    M, C = xf2d.shape
+    n = st.nside
+    x3 = jnp.transpose(xf2d).reshape(C, 12, n, n)
+    y3 = fused_stencil_conv_cf(
+        st, tables, x3, kernel, n_terms, kind, B, interpret=interpret
+    )
+    return jnp.transpose(y3.reshape(y3.shape[0], M))

@@ -68,15 +68,8 @@ def main():
 
     @jax.jit
     def prep(tables, x):
-        x2d = jnp.transpose(x, (1, 0, 2)).reshape(npix, C)
-        xf = x2d.astype(jnp.float32).reshape(12, n, n, C)
-        rh = -(-2 * st.n_steps // 8) * 8
-        P0 = n + 2 * st.n_steps
-        P_l = -(-P0 // 128) * 128
-        xpad = jnp.transpose(pad_faces(st, xf, tables), (0, 3, 1, 2))
-        xpad = jnp.pad(
-            xpad, ((0, 0), (0, 0), (0, rh - 2 * st.n_steps), (0, P_l - P0))
-        )
+        x3 = jnp.transpose(x, (0, 2, 1)).reshape(BATCH * FIN, 12, n, n)
+        xpad = ps._assemble_padded(st, tables, x3)
         wk3 = jnp.transpose(kernel.astype(jnp.float32).reshape(FIN, K, FOUT), (1, 0, 2))
         return xpad, wk3
 
@@ -112,6 +105,27 @@ def main():
     dt = timed(prep, tables, x)
     results["prep"] = dt
     print(f"prep (pad+T)  : {dt*1e3:8.2f} ms")
+
+
+    # channels-first conv (the model-chain hot path: zero transposes)
+    @jax.jit
+    def conv_cf(tables, x3, kernel):
+        return ps.fused_stencil_conv_cf(st, tables, x3, kernel, K, "cheby", BATCH)
+
+    x3 = jax.block_until_ready(jax.jit(
+        lambda x: jnp.transpose(x, (0, 2, 1)).reshape(BATCH * FIN, 12, n, n))(x))
+    dt = timed(conv_cf, tables, x3, kernel,
+               chain=lambda a, out: (a[0], out, a[2]))
+    results["conv_cf"] = dt
+    print(f"conv cf       : {dt*1e3:8.2f} ms   {maps(dt):8.1f} maps/s")
+
+    # halo assembly alone
+    @jax.jit
+    def asm(tables, x3):
+        return ps._assemble_padded(st, tables, x3)
+    dt = timed(asm, tables, x3)
+    results["assemble"] = dt
+    print(f"assemble      : {dt*1e3:8.2f} ms")
 
     return results
 
