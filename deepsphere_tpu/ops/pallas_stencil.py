@@ -381,6 +381,88 @@ def _basis_at_rows(tables, x3, n_terms, kind):
     )
 
 
+def _corr_patches(st):
+    """Static corner-patch metadata: the corrupt rows grouped into small
+    per-(face, corner-quadrant) bounding boxes.
+
+    Returns a list of ``(face, x0, y0, sel)`` with ``sel`` a host (rx, ry)
+    int32 map of indices into the corrected-row array (-1 = keep the
+    kernel's value).  Patching via static-slice updates on these O(h^2)
+    boxes replaces a pixel scatter over the full map — XLA materializes
+    such a scatter as one or more full-size copies (~15 ms/conv at
+    nside=1024).
+    """
+    if getattr(st, "_corr_patch_cache", None) is None:
+        n = st.nside
+        ids = np.asarray(st.corr_out_face if hasattr(st, "corr_out_face")
+                         else [], dtype=np.int64)
+        f = ids // (n * n)
+        x = (ids // n) % n
+        y = ids % n
+        patches = []
+        groups = {}
+        for i in range(ids.shape[0]):
+            key = (int(f[i]), x[i] >= n // 2, y[i] >= n // 2)
+            groups.setdefault(key, []).append(i)
+        for (face, _, _), idxs in sorted(groups.items()):
+            idxs = np.asarray(idxs)
+            x0, x1 = int(x[idxs].min()), int(x[idxs].max()) + 1
+            y0, y1 = int(y[idxs].min()), int(y[idxs].max()) + 1
+            sel = np.full((x1 - x0, y1 - y0), -1, np.int32)
+            sel[x[idxs] - x0, y[idxs] - y0] = idxs
+            patches.append((face, x0, y0, sel))
+        st._corr_patch_cache = patches
+    return st._corr_patch_cache
+
+
+def _patch_corrections(st, y, y_fix):
+    """Overwrite the corrupt rows of y (Cout, 12, n, n) with the exact
+    values ``y_fix`` (Rc, Cout), via per-corner static-slice updates."""
+    yt = jnp.transpose(y_fix)  # (Cout, Rc)
+    for face, x0, y0, sel in _corr_patches(st):
+        selj = jnp.asarray(sel)
+        rx, ry = sel.shape
+        patch = y[:, face, x0 : x0 + rx, y0 : y0 + ry]
+        vals = yt[:, jnp.clip(selj, 0)]  # (Cout, rx, ry), tiny gather
+        patch = jnp.where(selj[None] >= 0, vals, patch)
+        y = y.at[:, face, x0 : x0 + rx, y0 : y0 + ry].set(
+            patch.astype(y.dtype)
+        )
+    return y
+
+
+def _zero_corrections(st, dy):
+    """Zero the corrupt rows of dy (Cout, 12, n, n) via the same static
+    corner patches (scatter-free)."""
+    for face, x0, y0, sel in _corr_patches(st):
+        selj = jnp.asarray(sel)
+        rx, ry = sel.shape
+        patch = dy[:, face, x0 : x0 + rx, y0 : y0 + ry]
+        patch = jnp.where(selj[None] >= 0, jnp.zeros_like(patch), patch)
+        dy = dy.at[:, face, x0 : x0 + rx, y0 : y0 + ry].set(patch)
+    return dy
+
+
+def _gather_corrections(st, dy):
+    """dy values at the corrupt rows, (Rc, Cout) — small patch reads, no
+    full-map gather."""
+    parts = []
+    for face, x0, y0, sel in _corr_patches(st):
+        rx, ry = sel.shape
+        patch = dy[:, face, x0 : x0 + rx, y0 : y0 + ry].reshape(
+            dy.shape[0], rx * ry
+        )
+        parts.append((patch, sel.reshape(-1)))
+    Rc = int(np.asarray(st.corr_out_face).shape[0])
+    out = jnp.zeros((Rc, dy.shape[0]), dy.dtype)
+    for patch, sel in parts:
+        m = sel >= 0
+        out = out.at[jnp.asarray(sel[m])].set(
+            jnp.transpose(patch[:, jnp.asarray(np.nonzero(m)[0])])
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # top level with custom VJP
 # ---------------------------------------------------------------------------
@@ -394,30 +476,25 @@ def _assemble_padded(st, tables, x3):
     Replaces the old pad + four dynamic-update-slice chain, which cost
     several full HBM round trips per conv.
     """
+    from .stencil import edge_strips
+
     n, h = st.nside, st.n_steps
     C = x3.shape[0]
     P0 = n + 2 * h
     P_l = _round_up(P0, 128)
     P_r = n + _round_up(2 * h, 8)
     f32 = jnp.float32
-    flat = x3.astype(f32).reshape(C, 12 * n * n)
-
-    def strip(name):
-        src = tables[f"{name}_src"]
-        mask = tables[f"{name}_mask"].astype(f32)
-        return jnp.take(flat, src.reshape(-1), axis=1).reshape(
-            (C,) + src.shape
-        ) * mask[None]
+    x3 = x3.astype(f32)
 
     def zeros(*s):
         return jnp.zeros((C, 12) + s, f32)
 
+    west, east, south, north = edge_strips(n, h, x3)
     interior = jnp.concatenate(
-        [strip("south"), x3.astype(f32), strip("north"), zeros(n, P_l - P0)],
-        axis=3,
+        [south, x3, north, zeros(n, P_l - P0)], axis=3
     )  # (C, 12, n, P_l)
-    west = jnp.concatenate([strip("west"), zeros(h, P_l - P0)], axis=3)
-    east = jnp.concatenate([strip("east"), zeros(h, P_l - P0)], axis=3)
+    west = jnp.concatenate([west, zeros(h, P_l - P0)], axis=3)
+    east = jnp.concatenate([east, zeros(h, P_l - P0)], axis=3)
     return jnp.concatenate(
         [west, interior, east, zeros(P_r - n - 2 * h, P_l)], axis=2
     )
@@ -439,13 +516,7 @@ def _forward_cf(st, kind, n_terms, B, interpret, tables, x3, kernel):
     y = _run_stencil_kernel(st, kind, n_terms, xpad, wpad, wk3, B, interpret)
     if tables["corr_src"].shape[0]:
         y_fix = _corrected_rows(tables, x3, wk3, n_terms, kind, B)  # (Rc, Cout)
-        Cout = y.shape[0]
-        y = (
-            y.reshape(Cout, -1)
-            .at[:, tables["corr_out_face"]]
-            .set(jnp.transpose(y_fix))
-            .reshape(y.shape)
-        )
+        y = _patch_corrections(st, y, y_fix)
     return y
 
 
@@ -497,15 +568,7 @@ def fused_stencil_conv_cf(st: FaceStencil, tables, x3, kernel, n_terms, kind,
         wpad = tables["weights"].astype(jnp.float32)
         xpad = _assemble_padded(st, tables, x3)
         has_corr = bool(tables["corr_src"].shape[0])
-        if has_corr:
-            dy_clean = (
-                dy.reshape(Cout, -1)
-                .at[:, tables["corr_out_face"]]
-                .set(0.0)
-                .reshape(dy.shape)
-            )
-        else:
-            dy_clean = dy
+        dy_clean = _zero_corrections(st, dy) if has_corr else dy
         # lane-shift dy by h so it lines up with the window's padded coords
         h = st.n_steps
         P_l = _round_up(n + 2 * h, 128)
@@ -515,9 +578,7 @@ def fused_stencil_conv_cf(st: FaceStencil, tables, x3, kernel, n_terms, kind,
         ).reshape(n_terms, Fin, Fout)
         if has_corr:
             basis = _basis_at_rows(tables, x3, n_terms, kind)  # (K, Rc, C)
-            dy_rc = jnp.transpose(
-                dy.reshape(Cout, -1)[:, tables["corr_out_face"]]
-            )  # (Rc, Cout)
+            dy_rc = _gather_corrections(st, dy)  # (Rc, Cout)
             dwk = dwk + jnp.einsum(
                 "krbf,rbo->kfo",
                 basis.reshape(n_terms, -1, B, Fin),

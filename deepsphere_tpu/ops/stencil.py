@@ -35,10 +35,172 @@ from ..graph.stencil import STENCIL_OFFSETS, FaceStencil
 __all__ = [
     "stencil_tables",
     "pad_faces",
+    "edge_strips",
     "stencil_matvec",
     "stencil_graph_conv",
     "stencil_basis_stack",
 ]
+
+
+def _extract_bands(x3, n, h):
+    """The four face-edge bands of x3 (C, 12, n, n), cut to depth h.
+
+    On TPU the cut runs as a tiny Pallas DMA kernel producing 8-row /
+    128-lane aligned bands: a Pallas custom call pins default layouts, so
+    XLA layout assignment cannot propagate the downstream flip/transpose
+    layouts into the slices — left to itself it materializes full relayout
+    copies of the whole map (3 x ~2.5 ms at nside=1024) just to serve
+    them.  The final h-deep cut happens on the small bands.
+    """
+    import jax
+
+    from .. import config
+
+    rb = min(_round_up_8(h), n)
+    lb = min(128, n)
+    use_pallas = (
+        config.pallas_mode() == "compile" and n % 128 == 0 and rb == 8
+    )
+    if use_pallas:
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        C = x3.shape[0]
+
+        def kern(x_ref, fr_ref, lr_ref, fc_ref, lc_ref, sem):
+            copies = [
+                pltpu.make_async_copy(src, dst, sem.at[i])
+                for i, (dst, src) in enumerate([
+                    (fr_ref, x_ref.at[:, :, 0:rb, :]),
+                    (lr_ref, x_ref.at[:, :, n - rb : n, :]),
+                    (fc_ref, x_ref.at[:, :, :, 0:lb]),
+                    (lc_ref, x_ref.at[:, :, :, n - lb : n]),
+                ])
+            ]
+            for c in copies:
+                c.start()
+            for c in copies:
+                c.wait()
+
+        fr, lr, fc, lc = pl.pallas_call(
+            kern,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=tuple(
+                pl.BlockSpec(memory_space=pl.ANY) for _ in range(4)
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((C, 12, rb, n), x3.dtype),
+                jax.ShapeDtypeStruct((C, 12, rb, n), x3.dtype),
+                jax.ShapeDtypeStruct((C, 12, n, lb), x3.dtype),
+                jax.ShapeDtypeStruct((C, 12, n, lb), x3.dtype),
+            ),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((4,))],
+        )(x3)
+    else:
+        fr = x3[:, :, :rb, :]
+        lr = x3[:, :, n - rb :, :]
+        fc = x3[:, :, :, :lb]
+        lc = x3[:, :, :, n - lb :]
+    return (
+        fr[:, :, :h, :],
+        lr[:, :, rb - h :, :],
+        fc[:, :, :, :h],
+        lc[:, :, :, lb - h :],
+    )
+
+
+def _round_up_8(x):
+    return -(-x // 8) * 8
+
+
+def _src_block(bands, n, h, ax, ay):
+    """Slice the (ax, ay) source rectangle of face ``nbf`` out of the
+    prefetched edge bands.  A halo-region rectangle always has at least
+    one thin (h-wide) axis pinned to a face edge, so it lives inside one
+    of the four bands."""
+    fr, lr, fc, lc = bands  # (C,12,h,n) first/last rows, (C,12,n,h) cols
+    (a0, a1), (b0, b1) = ax, ay
+    if a1 - a0 == h and (a0 == 0 or a0 == n - h):
+        band = fr if a0 == 0 else lr
+        return band if (b1 - b0) == n else band[..., b0:b1]
+    band = fc if b0 == 0 else lc
+    return band if (a1 - a0) == n else band[:, :, a0:a1, :]
+
+
+def _edge_block(bands, n, h, f, xs, ys):
+    """Halo block for region (xs, ys) of face ``f`` as a structured copy.
+
+    Returns (C, lx, ly) with lx = h if xs else n (same for y), raster-
+    ordered by the region's local (xw, yw).  Pure slices + flips + one
+    transpose on h-thin bands — no gather (TPU gathers from channels-first
+    layouts run far below bandwidth, and per-face thin slices of the full
+    map trigger pathological XLA fusions at large nside; hence the band
+    prefetch in :func:`edge_strips`).
+    """
+    from ..sphere.faces import edge_descriptor
+
+    d = edge_descriptor(f, xs, ys)
+    lx = h if xs else n
+    ly = h if ys else n
+    if d is None:  # polar 3-way corner: no pixels
+        return jnp.zeros((bands[0].shape[0], lx, ly), bands[0].dtype)
+    nbf, fx, fy, swap = d
+    xw0 = n - h if xs < 0 else 0
+    yw0 = n - h if ys < 0 else 0
+
+    def rng(w0, l, flip):
+        return (n - w0 - l, n - w0) if flip else (w0, w0 + l)
+
+    ax = rng(xw0, lx, fx)
+    ay = rng(yw0, ly, fy)
+    if swap:
+        blk = jnp.transpose(_src_block(bands, n, h, ay, ax)[:, nbf], (0, 2, 1))
+    else:
+        blk = _src_block(bands, n, h, ax, ay)[:, nbf]
+    if fx:
+        blk = jnp.flip(blk, axis=1)
+    if fy:
+        blk = jnp.flip(blk, axis=2)
+    return blk
+
+
+def edge_strips(n, h, x3):
+    """The four halo strips of every face, as structured edge copies.
+
+    x3: (C, 12, n, n) channels-first faces.  Returns
+    ``(west, east, south, north)`` with west/east (C, 12, h, n+2h)
+    spanning the full padded width (corners included) and south/north
+    (C, 12, n, h) covering interior rows — the same coverage as the
+    gather tables built in :mod:`..graph.stencil` (hmP strips), which
+    they replace on the hot path.
+
+    The four face-edge bands are sliced from the full map ONCE (four big
+    strided reads); all per-face work then touches only those thin bands.
+    """
+    bands = _extract_bands(x3, n, h)
+
+    def row_strip(xs):
+        return jnp.stack(
+            [
+                jnp.concatenate(
+                    [
+                        _edge_block(bands, n, h, f, xs, -1),
+                        _edge_block(bands, n, h, f, xs, 0),
+                        _edge_block(bands, n, h, f, xs, 1),
+                    ],
+                    axis=2,
+                )
+                for f in range(12)
+            ],
+            axis=1,
+        )
+
+    def col_strip(ys):
+        return jnp.stack(
+            [_edge_block(bands, n, h, f, 0, ys) for f in range(12)], axis=1
+        )
+
+    return row_strip(-1), row_strip(1), col_strip(-1), col_strip(1)
 
 
 def stencil_tables(st: FaceStencil):

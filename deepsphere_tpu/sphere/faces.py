@@ -41,11 +41,41 @@ from .healpix import (
 __all__ = [
     "face_coords_to_pix",
     "halo_map",
+    "edge_descriptor",
     "nest2face_index",
     "face2nest_index",
     "nest2face",
     "face2nest",
 ]
+
+
+def edge_descriptor(face, xs, ys):
+    """How the (xs, ys) halo region of ``face`` maps onto a neighbor face.
+
+    The cross-face transform is *uniform over a whole side/corner region*
+    (one row of the healpix_base face-transition tables), so halo strips
+    are never true gathers — they are neighbor-face edge bands under an
+    affine flip/transpose.  This is what makes a gather-free halo refresh
+    possible on TPU.
+
+    :param xs: -1 (x < 0 side), 0 (x interior), +1 (x >= nside side)
+    :param ys: same for y; (0, 0) is invalid
+    :return: ``None`` when the region has no pixels (the 8 polar 3-way
+        corners), else ``(nbf, flip_x, flip_y, swap)``: the halo value at
+        local in-neighbor coords ``(xw, yw)`` (``xw = x mod nside`` etc.)
+        is neighbor face ``nbf`` at ``(xf, yf)`` where
+        ``xw2 = nside-1-xw if flip_x else xw`` (same for y) and
+        ``(xf, yf) = (yw2, xw2) if swap else (xw2, yw2)``
+        (matches :func:`face_coords_to_pix`).
+    """
+    if xs == 0 and ys == 0:
+        raise ValueError("(0, 0) is the face interior, not a halo region")
+    nbnum = 4 + xs + 3 * ys
+    nbf = int(_NB_FACEARRAY[nbnum, face])
+    if nbf < 0:
+        return None
+    bits = int(_NB_SWAPARRAY[nbnum, face >> 2])
+    return nbf, bool(bits & 1), bool(bits & 2), bool(bits & 4)
 
 
 def face_coords_to_pix(nside, x, y, face):

@@ -16,6 +16,7 @@ from deepsphere_tpu.ops.stencil import (
     stencil_basis_stack,
     stencil_graph_conv,
     stencil_matvec,
+    stencil_tables,
 )
 from deepsphere_tpu.sphere import faces, healpix as hp
 
@@ -301,3 +302,35 @@ def test_face_mode_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(
         np.asarray(m1(jnp.asarray(x))), np.asarray(m2(jnp.asarray(x))), atol=1e-6
     )
+
+
+def test_edge_strips_match_gather_tables(rng):
+    """Structured edge copies == the halo_map gather strips (all regions,
+    both a deep and a depth-1 halo)."""
+    import jax.numpy as jnp
+
+    from deepsphere_tpu.ops.stencil import edge_strips
+
+    n = 8
+    C = 3
+    npix = 12 * n * n
+    x2d = rng.normal(size=(npix, C)).astype(np.float32)
+    x3 = jnp.asarray(x2d.T.reshape(C, 12, n, n))
+    flat = x2d  # face-flat (M, C)
+
+    for h in (1, 4):
+        g = build_sphere_graph(n, k=8, method="grid")
+        st = g.face_stencil(0.75, n_steps=h)
+        tables = stencil_tables(st)
+
+        def gather(name):
+            src = tables[f"{name}_src"]
+            mask = tables[f"{name}_mask"]
+            out = flat[src.reshape(-1)].reshape(src.shape + (C,)) * mask[..., None]
+            return np.transpose(out, (3, 0, 1, 2))  # (C, 12, rows, cols)
+
+        west, east, south, north = edge_strips(n, h, x3)
+        np.testing.assert_allclose(np.asarray(west), gather("west"), atol=0)
+        np.testing.assert_allclose(np.asarray(east), gather("east"), atol=0)
+        np.testing.assert_allclose(np.asarray(south), gather("south"), atol=0)
+        np.testing.assert_allclose(np.asarray(north), gather("north"), atol=0)
