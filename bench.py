@@ -5,11 +5,12 @@ Runs on whatever the default jax platform is (the real TPU chip under axon).
 The graph is built once with the fast O(M) grid constructor and cached to
 ``.bench_cache/`` so later rounds skip the host precompute.
 
-Measures the TPU-native **face-stencil** path (gather-free: the 8-neighbor
-graph conv as a 3x3 stencil over the 12 HEALPix faces with cross-face halo
-fill, contraction fused into the recursion — see ``deepsphere_tpu/ops/
-stencil.py``).  The ELLPACK gather path is timed alongside and reported in
-``extra`` for comparison.
+Measures the model-native **cface** path (the layout the model assembler
+threads between layers): channels-first padded face images through the fused
+Pallas kernel — the full K-term Chebyshev recursion in VMEM, halo windows
+assembled per band from structured edge-copy strips, contraction fused
+(see ``deepsphere_tpu/ops/pallas_stencil.py``).  The (B, M, F) face-flat
+wrapper path and the ELLPACK gather path are timed alongside in ``extra``.
 
 ``vs_baseline``: the reference repo publishes no benchmark numbers
 (BASELINE.md), so we normalize against the only published throughput trace —
@@ -32,7 +33,7 @@ BATCH = int(os.environ.get("BENCH_BATCH", 4))
 REFERENCE_MAPS_PER_SEC = 16 / 0.6  # quick_start.ipynb cell 16 output
 
 
-def _time(fn, tables, x, kernel, n_iters=10):
+def _time(fn, tables, x, kernel, n_iters=20):
     """Chained timing with host readback.
 
     The axon (tunneled-TPU) backend's block_until_ready can return before
@@ -40,12 +41,20 @@ def _time(fn, tables, x, kernel, n_iters=10):
     a data dependency (Fin == Fout) and (b) end with a device->host read,
     which cannot complete early.
     """
+    def readback(z):
+        # device-side scalar first: np.ravel/np.asarray on the full array
+        # would download GBs through the tunnel
+        np.asarray(z[(0,) * z.ndim])
+
     z = fn(tables, x, kernel)  # compile + warmup
-    np.asarray(z[:1, :2, 0])
+    readback(z)
+    for _ in range(3):  # extra warmup: spread allocator/dispatch transients
+        z = fn(tables, z, kernel)
+    readback(z)
     t0 = time.time()
     for _ in range(n_iters):
         z = fn(tables, z, kernel)
-    np.asarray(z[:1, :2, 0])
+    readback(z)
     return (time.time() - t0) / n_iters
 
 
@@ -54,8 +63,13 @@ def main():
     import jax.numpy as jnp
 
     from deepsphere_tpu.graph import build_sphere_graph
+    from deepsphere_tpu.ops.pallas_stencil import cfp_geometry
     from deepsphere_tpu.ops.spmv import chebyshev_basis, graph_conv
-    from deepsphere_tpu.ops.stencil import stencil_graph_conv, stencil_tables
+    from deepsphere_tpu.ops.stencil import (
+        stencil_graph_conv,
+        stencil_graph_conv_cface,
+        stencil_tables,
+    )
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
     os.makedirs(cache, exist_ok=True)
@@ -78,16 +92,25 @@ def main():
     # embedded into the HLO as constants)
     st_tables = jax.device_put(stencil_tables(st))
 
-    # the model's internal hot path runs in the face layout (the NEST<->face
-    # conversion happens once per forward pass at the model boundary, not
-    # per conv) — measure the conv in its native layout
-    @jax.jit
-    def conv_stencil(tables, x, kernel):
-        return stencil_graph_conv(
-            st, x, kernel, K, "cheby", tables=tables, layout="face"
-        )
+    # the model's internal hot path runs in the cface layout (one
+    # NEST->cface conversion per model forward, zero per-conv layout work)
+    # — measure the conv in that native layout
+    h = K - 1
+    _, P_l = cfp_geometry(NSIDE, h)
+    x5 = jnp.concatenate(
+        [
+            jnp.zeros((BATCH, FIN, 12, NSIDE, h), jnp.float32),
+            jnp.transpose(x, (0, 2, 1)).reshape(BATCH, FIN, 12, NSIDE, NSIDE),
+            jnp.zeros((BATCH, FIN, 12, NSIDE, P_l - NSIDE - h), jnp.float32),
+        ],
+        axis=4,
+    )
 
-    dt = _time(conv_stencil, st_tables, x, kernel)
+    @jax.jit
+    def conv_cface(tables, x5, kernel):
+        return stencil_graph_conv_cface(st, x5, kernel, K, "cheby", tables=tables)
+
+    dt = _time(conv_cface, st_tables, x5, kernel)
     maps_per_sec = BATCH / dt
 
     extra = {
@@ -96,6 +119,15 @@ def main():
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
     }
+
+    @jax.jit
+    def conv_stencil(tables, x, kernel):
+        return stencil_graph_conv(
+            st, x, kernel, K, "cheby", tables=tables, layout="face"
+        )
+
+    dt_f = _time(conv_stencil, st_tables, x, kernel, n_iters=5)
+    extra["face_flat_step_ms"] = round(dt_f * 1e3, 2)
 
     if os.environ.get("BENCH_GATHER_PATH", "1") == "1":
         idx_np, val_np = graph.ellpack(0.75)

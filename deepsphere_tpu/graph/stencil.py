@@ -65,10 +65,12 @@ class FaceStencil:
     n_steps: int  # halo (pad) depth; weights cover positions of depth <= n_steps-1
     scale: float
     weights: np.ndarray
-    # (9, 12, P_r, P) f32 in padded-activation coordinates: entry
-    # [d, f, x + n_steps, y + n_steps] weighs face coord (x, y); rows are
-    # padded to P_r = nside + round_up(2*n_steps, 8) so the fused kernel's
-    # band DMAs stay sublane-aligned.  P = nside + 2*n_steps.
+    # (9, 12, nside + 2R, P_l) f32 wrapped-extended weight planes,
+    # R = roundup(n_steps, 8), P_l = roundup(nside + 2*n_steps, 128):
+    # interior face row x at row x (lane y + n_steps for face col y);
+    # rows [n, n+R) hold face rows [-R, 0) (zeros where undefined) and
+    # [n+R, n+2R) hold face rows [n, n+R) — so the fused kernel's window
+    # DMA pieces mirror the activation pieces with 8-aligned slices.
     # halo strips: face-flat (12*n*n) source rows (clamped) + 0/1 masks
     west_src: np.ndarray  # (12, s, P) int32, P = nside + 2*n_steps
     west_mask: np.ndarray  # (12, s, P) f32
@@ -109,7 +111,7 @@ def _stencil_cache_path(graph, scale, n_steps, cache_dir):
         return None
     tag = "-".join(str(p) for p in h)
     return os.path.join(
-        cache_dir, f"face_stencil-v2-{tag}-s{scale:.6g}-n{n_steps}.npz"
+        cache_dir, f"face_stencil-v3-{tag}-s{scale:.6g}-n{n_steps}.npz"
     )
 
 
@@ -336,11 +338,21 @@ def face_stencil(graph, scale, n_steps=1):
 
     n2f = halo_map(nside, 0).reshape(-1).astype(np.int32)
 
+    # wrapped-extended weight layout (see FaceStencil.weights): face row x
+    # lives at old embedded row x + n_steps
+    R = -(-n_steps // 8) * 8
+    w_ext = np.zeros((9, 12, nside + 2 * R, P_l), dtype=np.float32)
+    w_ext[:, :, 0:nside] = w_emb[:, :, n_steps : n_steps + nside, :P_l]
+    for rr in range(1, n_steps):  # top halo: face rows -rr
+        w_ext[:, :, nside + R - rr] = w_emb[:, :, n_steps - rr, :P_l]
+    for j in range(0, n_steps - 1):  # bottom halo: face rows n + j
+        w_ext[:, :, nside + R + j] = w_emb[:, :, n_steps + nside + j, :P_l]
+
     return FaceStencil(
         nside=nside,
         n_steps=n_steps,
         scale=float(scale),
-        weights=w_emb,
+        weights=w_ext,
         west_src=west_src,
         west_mask=west_mask,
         east_src=east_src,

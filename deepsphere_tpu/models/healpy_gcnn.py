@@ -224,22 +224,74 @@ class HealpyGCNN:
         self.variables = None
 
     def _plan_internal_layout(self, internal_layout):
-        """Run as much of the model as possible in the face layout.
+        """Run as much of the model as possible in the conv's native layout.
 
-        The NEST pixel axis is a Morton permutation of 12 (nside, nside)
-        face images (see :mod:`..ops.layout`).  Stencil-path convs, pooling
-        and pseudo-convs all operate natively on face images — running them
-        in face layout removes every per-layer permutation from the hot
-        path; the assembler inserts a single NestToFace/FaceToNest pair at
-        each boundary.  Weight/checkpoint layout is unchanged (params are
-        stored in NEST tap order in both modes).
+        Two internal layouts exist, best first:
+
+        * **cface** — channels-first padded face images (B, F, 12, n, P_l),
+          the fused Pallas conv's native layout: a chain of convs / pools /
+          pseudo-convs runs with ZERO per-layer permutations or halo
+          materializations (see ``ops.pallas_stencil``).  Chosen for every
+          maximal run of layers whose convs support the deep stencil
+          (structural check only, so plans are platform-independent).
+        * **face** — face-flat pixel axis (B, M, F): still removes the
+          Morton permutations but pays per-conv transposes; used for
+          stencil-capable convs that cannot run cface (e.g. Bernstein).
+
+        Weight/checkpoint layout is unchanged in all modes (params are
+        stored in NEST tap order).
         """
         from ..nn.layers import (
+            CfaceReEmbed,
+            CfaceToNest,
             FaceToNest,
+            NestToCface,
             NestToFace,
             ResidualLayer,
             _GraphPolyConv,
         )
+        from ..ops.pallas_stencil import cfp_structural_available
+
+        def cface_info(layer):
+            """("cf", h) for a cface-capable conv/residual, ("sif",) for a
+            pass-through geometry layer, else None."""
+            if internal_layout == "nest":
+                return None
+            if isinstance(layer, _GraphPolyConv):
+                if layer.shard_cfg is not None or layer.conv_method not in (
+                    "auto", "stencil",
+                ):
+                    return None
+                n_terms = layer.K + layer._n_terms_offset
+                if layer._basis_kind not in ("cheby", "mono") or n_terms < 2:
+                    return None
+                st = layer.graph.face_stencil(
+                    layer._scale, n_steps=n_terms - 1
+                )
+                if st is None or not cfp_structural_available(
+                    st, layer._basis_kind, n_terms
+                ):
+                    return None
+                return ("cf", n_terms - 1)
+            if isinstance(layer, ResidualLayer):
+                scales = {"CHEBY": 0.75, "MONO": 1.0}
+                if layer.shard_cfg is not None or layer.layer_type not in scales:
+                    return None
+                K = dict(layer.layer_kwargs or {}).get("K", None)
+                if K is None or K < 2:
+                    return None
+                st = layer.graph.face_stencil(
+                    scales[layer.layer_type], n_steps=K - 1
+                )
+                kind = "cheby" if layer.layer_type == "CHEBY" else "mono"
+                if st is None or not cfp_structural_available(st, kind, K):
+                    return None
+                return ("cf", K - 1)
+            if isinstance(
+                layer, (HealpyPool, HealpyPseudoConv, HealpyPseudoConv_Transpose)
+            ):
+                return ("sif",)
+            return None
 
         def face_version(layer):
             if internal_layout == "nest":
@@ -265,10 +317,68 @@ class HealpyGCNN:
 
         stay_in_face = (HealpyPool, HealpyPseudoConv, HealpyPseudoConv_Transpose)
 
+        # 1) carve out cface segments: maximal runs of (cf | sif) layers
+        #    containing at least one conv
+        infos = [cface_info(l) for l in self.layers_use]
+        n_layers = len(self.layers_use)
+        seg_of = [-1] * n_layers
+        segments = []
+        i = 0
+        while i < n_layers:
+            if infos[i] is None:
+                i += 1
+                continue
+            j = i
+            while j < n_layers and infos[j] is not None:
+                j += 1
+            if any(infos[t][0] == "cf" for t in range(i, j)):
+                for t in range(i, j):
+                    seg_of[t] = len(segments)
+                segments.append((i, j))
+            i = j
+
+        def next_cf_h(t, j):
+            for u in range(t, j):
+                if infos[u][0] == "cf":
+                    return infos[u][1]
+            return 0
+
+        # 2) emit, falling back to the face layout outside cface segments
         self._module_layers = []
         self._module_index = []
         in_face = False
+        cur_off = 0
         for i, layer in enumerate(self.layers_use):
+            if seg_of[i] >= 0:
+                a, j = segments[seg_of[i]]
+                if in_face:
+                    self._module_layers.append(FaceToNest())
+                    in_face = False
+                if i == a:  # segment entry
+                    cur_off = next_cf_h(a, j)
+                    self._module_layers.append(NestToCface(off=cur_off))
+                if infos[i][0] == "cf":
+                    h = infos[i][1]
+                    if cur_off != h:
+                        self._module_layers.append(
+                            CfaceReEmbed(off_in=cur_off, off_out=h)
+                        )
+                    actual = layer.clone(layout="cface")
+                    cur_off = h
+                else:  # sif: pool / pseudo-conv — re-embeds for the next conv
+                    off_out = next_cf_h(i + 1, j)
+                    actual = layer.clone(
+                        layout="cface", cface_off=cur_off,
+                        cface_off_out=off_out,
+                    )
+                    cur_off = off_out
+                self._module_layers.append(actual)
+                self._module_index.append(len(self._module_layers) - 1)
+                self.layers_use[i] = actual
+                if i == j - 1:  # segment exit
+                    self._module_layers.append(CfaceToNest(off=cur_off))
+                continue
+
             fc = face_version(layer)
             if fc is not None:
                 if not in_face:

@@ -50,6 +50,9 @@ __all__ = [
     "Dense",
     "NestToFace",
     "FaceToNest",
+    "NestToCface",
+    "CfaceToNest",
+    "CfaceReEmbed",
 ]
 
 Dtype = Any
@@ -83,6 +86,115 @@ class FaceToNest(nn.Module):
     @nn.compact
     def __call__(self, x, training=False):
         return face_to_nest(x)
+
+
+class NestToCface(nn.Module):
+    """NEST (B, M, F) -> the conv's native channels-first padded layout
+    (B, F, 12, n, P_l) with face col y at lane ``y + off``.  Inserted once
+    per cface segment by the model assembler; inside the segment no layer
+    performs any layout change at all."""
+
+    off: int
+
+    @nn.compact
+    def __call__(self, x, training=False):
+        from ..ops.stencil import cface_embed
+
+        n = nside_of_axis(x.shape[1])
+        return cface_embed(nest_to_face(x), n, self.off)
+
+
+class CfaceToNest(nn.Module):
+    """Inverse of :class:`NestToCface`."""
+
+    off: int
+
+    @nn.compact
+    def __call__(self, x, training=False):
+        from ..ops.stencil import cface_extract
+
+        return face_to_nest(cface_extract(x, self.off))
+
+
+class CfaceReEmbed(nn.Module):
+    """Shift the lane embedding between two cface geometries (needed only
+    between consecutive convs of different polynomial order)."""
+
+    off_in: int
+    off_out: int
+
+    @nn.compact
+    def __call__(self, x, training=False):
+        from ..ops.pallas_stencil import cfp_geometry
+
+        if self.off_in == self.off_out:
+            return x
+        B, F, _, n, _ = x.shape
+        _, P_out = cfp_geometry(n, self.off_out)
+        xi = x[:, :, :, :, self.off_in : self.off_in + n]
+        return jnp.concatenate(
+            [
+                jnp.zeros((B, F, 12, n, self.off_out), x.dtype),
+                xi,
+                jnp.zeros((B, F, 12, n, P_out - n - self.off_out), x.dtype),
+            ],
+            axis=4,
+        )
+
+
+class _CfaceBatchNorm(nn.Module):
+    """BatchNorm over the cface layout with interior-only statistics.
+
+    Mirrors ``flax.linen.BatchNorm`` semantics and state layout (so
+    checkpoints are layout-independent), but computes batch statistics over
+    the interior lanes only — the layout's halo/pad lanes hold garbage that
+    must not pollute the stats.  The full array is normalized with those
+    stats (garbage stays garbage; downstream consumers only read the
+    interior).
+    """
+
+    off: int
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    use_bias: bool = False
+    use_scale: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, F, _, n, _ = x.shape
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (F,)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (F,)
+        )
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xi = x[:, :, :, :, self.off : self.off + n].astype(jnp.float32)
+            mean = jnp.mean(xi, axis=(0, 2, 3, 4))
+            mean2 = jnp.mean(jnp.square(xi), axis=(0, 2, 3, 4))
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+            var = mean2 - jnp.square(mean)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        shape = (1, F, 1, 1, 1)
+        y = (x - mean.reshape(shape).astype(x.dtype)) * jax.lax.rsqrt(
+            var.reshape(shape).astype(x.dtype) + self.epsilon
+        )
+        if self.use_scale:
+            scale = self.param("scale", nn.initializers.ones, (F,), jnp.float32)
+            y = y * scale.reshape(shape).astype(x.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (F,), jnp.float32)
+            y = y + bias.reshape(shape).astype(x.dtype)
+        return y
 
 
 def _batch_norm(training, axis_name, name=None):
@@ -126,6 +238,8 @@ class _GraphPolyConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, training=False):
+        if self.layout == "cface":
+            return self._call_cface(x, training)
         B, M, Fin = x.shape
         if M != self.graph.n_pixels:
             raise ValueError(
@@ -206,6 +320,46 @@ class _GraphPolyConv(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (1, 1, Fout), jnp.float32)
             y = y + bias
+        act = resolve_activation(self.activation)
+        if act is not None:
+            y = act(y)
+        return y
+
+    def _call_cface(self, x, training):
+        """The conv in its native channels-first padded layout — see
+        :func:`..ops.stencil.stencil_graph_conv_cface`."""
+        from ..ops.stencil import stencil_graph_conv_cface, stencil_tables
+
+        B, Fin, _, n, P_l = x.shape
+        Fout = Fin if self.Fout is None else self.Fout
+        n_terms = self.K + self._n_terms_offset
+        st = self.graph.face_stencil(self._scale, n_steps=n_terms - 1)
+        if st is None:
+            raise ValueError("layout='cface' requires the deep stencil path")
+
+        if self.initializer is None:
+            init = nn.initializers.truncated_normal(
+                stddev=self._default_std(Fin, Fout), lower=-2.0, upper=2.0
+            )
+        else:
+            init = self.initializer
+        kernel = self.param("kernel", init, (Fin * n_terms, Fout), jnp.float32)
+        tables = self.variable(
+            "graph_tables", "stencil", lambda: stencil_tables(st)
+        ).value
+        y = stencil_graph_conv_cface(
+            st, x, kernel, n_terms, self._basis_kind, tables=tables
+        )
+        if self.use_bn:
+            y = _CfaceBatchNorm(
+                off=st.n_steps,
+                use_running_average=not training,
+                axis_name=self.bn_axis_name,
+                name="bn",
+            )(y)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (1, 1, Fout), jnp.float32)
+            y = y + bias.reshape(1, Fout, 1, 1, 1)
         act = resolve_activation(self.activation)
         if act is not None:
             y = act(y)
@@ -299,6 +453,23 @@ class ResidualLayer(nn.Module):
         bn_kwargs.pop("axis", None)  # (B, M, F) -> always normalize features
 
         def norm(name):
+            if self.layout == "cface":
+                if self.norm_type == "layer_norm":
+                    # per-pixel feature norm: axes move to position 1
+                    return nn.LayerNorm(
+                        name=name, reduction_axes=1, feature_axes=1,
+                        **bn_kwargs,
+                    )
+                conv_cls0 = _CONV_TYPES[self.layer_type]
+                h = self.layer_kwargs["K"] + conv_cls0._n_terms_offset - 1
+                return _CfaceBatchNorm(
+                    off=h,
+                    use_running_average=not training,
+                    axis_name=self.bn_axis_name,
+                    name=name,
+                    **{k: v for k, v in bn_kwargs.items()
+                       if k in ("momentum", "epsilon", "use_bias", "use_scale")},
+                )
             if self.norm_type == "layer_norm":
                 return nn.LayerNorm(name=name, **bn_kwargs)
             return nn.BatchNorm(
@@ -331,6 +502,8 @@ class HealpyPool(nn.Module):
     p: int
     pool_type: str = "MAX"
     layout: str = "nest"
+    cface_off: int = 0  # lane offset of the incoming cface geometry
+    cface_off_out: int = 0  # lane offset to emit (the next conv's halo)
 
     def __post_init__(self):
         super().__post_init__()
@@ -345,6 +518,28 @@ class HealpyPool(nn.Module):
 
     @nn.compact
     def __call__(self, x, training=False):
+        if self.layout == "cface":
+            # spatial 2^p x 2^p reduce on the interior + re-embed for the
+            # next conv's geometry
+            from ..ops.pallas_stencil import cfp_geometry
+
+            B, F, _, n, _ = x.shape
+            sp = 2**self.p
+            xi = x[:, :, :, :, self.cface_off : self.cface_off + n]
+            blocks = xi.reshape(B, F, 12, n // sp, sp, n // sp, sp)
+            reducer = jnp.max if self.pool_type == "MAX" else jnp.mean
+            y = reducer(blocks, axis=(4, 6))  # (B, F, 12, n/sp, n/sp)
+            n2 = n // sp
+            off = self.cface_off_out
+            _, P_out = cfp_geometry(n2, off)
+            return jnp.concatenate(
+                [
+                    jnp.zeros((B, F, 12, n2, off), y.dtype),
+                    y,
+                    jnp.zeros((B, F, 12, n2, P_out - n2 - off), y.dtype),
+                ],
+                axis=4,
+            )
         B, M, F = x.shape
         fs = self.filter_size
         if M % fs != 0:
@@ -373,6 +568,8 @@ class HealpyPseudoConv(nn.Module):
     kernel_initializer: Optional[Callable] = None
     use_bias: bool = True
     layout: str = "nest"
+    cface_off: int = 0
+    cface_off_out: int = 0
 
     def __post_init__(self):
         super().__post_init__()
@@ -385,6 +582,8 @@ class HealpyPseudoConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, training=False):
+        if self.layout == "cface":
+            return self._call_cface(x)
         B, M, Fin = x.shape
         fs = self.filter_size
         if M % fs != 0:
@@ -414,6 +613,41 @@ class HealpyPseudoConv(nn.Module):
             y = y + bias
         return y
 
+    def _call_cface(self, x):
+        """Blocked matmul on the interior of the cface layout + re-embed."""
+        from ..ops.pallas_stencil import cfp_geometry
+
+        B, Fin, _, n, _ = x.shape
+        fs = self.filter_size
+        sp = 2**self.p
+        init = self.kernel_initializer or nn.initializers.glorot_uniform()
+        kernel = self.param("kernel", init, (fs * Fin, self.Fout), jnp.float32)
+        perm = _raster_to_morton_taps(self.p)
+        # raster-tap order (p, q): matches the face-layout path numerically
+        k_face = kernel.reshape(fs, Fin, self.Fout)[perm].reshape(
+            sp, sp, Fin, self.Fout
+        )
+        xi = x[:, :, :, :, self.cface_off : self.cface_off + n]
+        blocks = xi.reshape(B, Fin, 12, n // sp, sp, n // sp, sp)
+        y = jnp.einsum(
+            "bfgxpyq,pqfo->bogxy", blocks, k_face.astype(x.dtype),
+            preferred_element_type=jnp.float32, precision=config.precision(),
+        ).astype(x.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.Fout,), jnp.float32)
+            y = y + bias.reshape(1, self.Fout, 1, 1, 1)
+        n2 = n // sp
+        off = self.cface_off_out
+        _, P_out = cfp_geometry(n2, off)
+        return jnp.concatenate(
+            [
+                jnp.zeros((B, self.Fout, 12, n2, off), y.dtype),
+                y,
+                jnp.zeros((B, self.Fout, 12, n2, P_out - n2 - off), y.dtype),
+            ],
+            axis=4,
+        )
+
 
 class HealpyPseudoConv_Transpose(nn.Module):
     """Learnable 1 -> 4^p upsampling (transpose of the pseudo conv): each
@@ -426,6 +660,8 @@ class HealpyPseudoConv_Transpose(nn.Module):
     kernel_initializer: Optional[Callable] = None
     use_bias: bool = True
     layout: str = "nest"
+    cface_off: int = 0
+    cface_off_out: int = 0
 
     def __post_init__(self):
         super().__post_init__()
@@ -438,6 +674,8 @@ class HealpyPseudoConv_Transpose(nn.Module):
 
     @nn.compact
     def __call__(self, x, training=False):
+        if self.layout == "cface":
+            return self._call_cface(x)
         B, M, Fin = x.shape
         fs = self.filter_size
         init = self.kernel_initializer or nn.initializers.glorot_uniform()
@@ -466,6 +704,38 @@ class HealpyPseudoConv_Transpose(nn.Module):
             bias = self.param("bias", nn.initializers.zeros, (self.Fout,), jnp.float32)
             y = y + bias
         return y
+
+    def _call_cface(self, x):
+        """Each coarse interior pixel emits a 2^p x 2^p tile; re-embed."""
+        from ..ops.pallas_stencil import cfp_geometry
+
+        B, Fin, _, n, _ = x.shape
+        fs = self.filter_size
+        sp = 2**self.p
+        init = self.kernel_initializer or nn.initializers.glorot_uniform()
+        kernel = self.param("kernel", init, (fs, Fin, self.Fout), jnp.float32)
+        perm = _raster_to_morton_taps(self.p)
+        k_face = kernel[perm].reshape(sp, sp, Fin, self.Fout)
+        xi = x[:, :, :, :, self.cface_off : self.cface_off + n]
+        y = jnp.einsum(
+            "bfgxy,pqfo->bogxpyq", xi, k_face.astype(x.dtype),
+            preferred_element_type=jnp.float32, precision=config.precision(),
+        ).astype(x.dtype)
+        n2 = n * sp
+        y = y.reshape(B, self.Fout, 12, n2, n2)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.Fout,), jnp.float32)
+            y = y + bias.reshape(1, self.Fout, 1, 1, 1)
+        off = self.cface_off_out
+        _, P_out = cfp_geometry(n2, off)
+        return jnp.concatenate(
+            [
+                jnp.zeros((B, self.Fout, 12, n2, off), y.dtype),
+                y,
+                jnp.zeros((B, self.Fout, 12, n2, P_out - n2 - off), y.dtype),
+            ],
+            axis=4,
+        )
 
 
 class Flatten(nn.Module):

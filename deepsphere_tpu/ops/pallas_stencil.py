@@ -3,40 +3,48 @@
 The XLA stencil path (:mod:`.stencil`) materializes every Laplacian
 application in HBM (K round trips of the activation).  This kernel keeps the
 whole Chebyshev / monomial recursion in VMEM: the grid walks row bands of
-each face; each grid step DMA-copies one full-width band window (with an
-h = K-1 redundant-compute halo) plus the matching per-pixel weight planes,
-runs all K-1 Laplacian applications on-chip, and folds the
+each face; each grid step assembles one halo-extended band window directly
+in VMEM (DMA pieces from the activation plus precomputed halo-strip
+arrays), runs all K-1 Laplacian applications on-chip, and folds the
 ``[K*Fin, Fout]`` contraction into the recursion term by term.  HBM traffic
-drops from ~K round trips to ~1.1 reads + 1 write of the activation.
+is ~1.1 reads + 1 write of the activation per conv.
 
-Layout / scheduling notes (what makes this fast on TPU):
+Layout: activations live as ``(C, 12, n, P_l)`` channels-first face images
+with face column y at lane ``y + h`` (h = K-1 halo depth) and
+``P_l = roundup(n + 2h, 128)`` — input and output of the conv share it, so
+chains of convs run with zero layout changes and no full-size halo
+materialization pass:
 
-* Activations are channels-first ``(C, rows, lanes)`` with C = batch*Fin:
-  both spatial axes ride the VPU's (sublane, lane) register dims at full
-  width, and the band is processed whole — every array in the hot loop is
-  lane-tile aligned, so no per-chunk halo re-layouts.
-* The nine stencil taps use fixed ±1 ``pltpu.roll`` shifts on full-size
-  arrays instead of k-dependent (unaligned) shrinking slices.  Border
-  wrap-around garbage advances one row/lane per recursion step and never
-  reaches the h-offset center that is written out.
+* Both spatial axes ride the VPU's (sublane, lane) register dims at full
+  width; every array in the hot loop is lane-tile aligned.
+* Cross-face halos are *structured edge copies* (see
+  :func:`..sphere.faces.edge_descriptor` / :func:`.stencil.edge_strips`),
+  built per conv as four small strip arrays.  Row-halo strips enter the
+  window via aligned DMA pieces (DMA row slices must be 8-aligned in offset
+  AND size — hence the R = roundup(h, 8) window margin, with tolerated
+  garbage rows in the gap); lane-halo strips land via masked sub-lane
+  stores.  The alternatives are far slower: XLA dynamic-update-slice halo
+  writes at nside=1024 measure ~1.5 s/conv, and scatter/gather halo fills
+  run ~50x below bandwidth.
+* The nine stencil taps are fixed ±1 ``pltpu.roll`` shifts on full-size
+  arrays; border wrap-around garbage advances one row/lane per recursion
+  step and never reaches the (R, h)-offset center that is written out.
 * The channel contraction runs on the VPU as scalar-AXPY accumulation
-  (kernel coefficients live in SMEM): at the typical C = batch*Fin of this
+  (kernel coefficients in SMEM): at the typical C = batch*Fin of this
   workload an MXU matmul would be <2% utilized and needs a massive
-  (C, rows, lanes) -> (rows*lanes, C) relayout per term; the AXPY form
-  needs neither.  The block structure of the per-batch kernel is exploited
-  directly (Fin*Fout*K scalar FMAs, not (B*Fin)*(B*Fout)*K).
+  relayout per term; the AXPY form needs neither.
 
 The rectangular face extension is geometrically incomplete at the 8 polar
 3-way corners (see :mod:`..graph.stencil`), so a constant number of rows
 near those corners computes garbage under fused multi-step recursion; they
 are re-computed exactly afterwards from a precomputed O(100)-row "ball"
-ELLPACK and patched in (forward AND both backward passes), keeping the
-kernel bit-consistent with the per-step XLA path.
+ELLPACK and patched in via static per-corner box updates (forward AND both
+backward passes) — a full-map pixel scatter would cost full-size copies.
 
 A custom VJP makes the backward pass reuse the same kernel: the rescaled
-Laplacian is symmetric, so dx runs the identical recursion on the
-incoming cotangent with the transposed channel kernel, and dW accumulates
-per-term scalar contractions in a second kernel over the same bands.
+Laplacian is symmetric, so dx runs the identical recursion on the incoming
+cotangent with the transposed channel kernel, and dW accumulates per-term
+scalar contractions in a second kernel over the same band windows.
 """
 
 from __future__ import annotations
@@ -53,75 +61,175 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import config
 from ..graph.stencil import STENCIL_OFFSETS, FaceStencil
 
-__all__ = ["fused_stencil_conv", "fused_available"]
+__all__ = [
+    "fused_stencil_conv",
+    "fused_stencil_conv_cf",
+    "fused_stencil_conv_cfp",
+    "fused_available",
+    "cfp_geometry",
+]
 
 _OFFS8 = STENCIL_OFFSETS[:8]
-
-
-def fused_available(st: FaceStencil, kind, n_terms):
-    """Whether the fused kernel supports this configuration."""
-    if config.pallas_mode() is None:
-        return False
-    if kind not in ("cheby", "mono"):
-        return False
-    n_steps = n_terms - 1
-    if n_steps < 1:
-        return False
-    return st.n_steps == n_steps
 
 
 def _round_up(x, m):
     return -(-x // m) * m
 
 
-def _pick_band(n, h, C, cout):
+def cfp_structural_available(st: FaceStencil, kind, n_terms):
+    """Whether this configuration fits the fused kernel / native padded
+    layout STRUCTURALLY (platform-independent — the model assembler plans
+    layouts with this so a model built on CPU applies unchanged on TPU)."""
+    if kind not in ("cheby", "mono"):
+        return False
+    n_steps = n_terms - 1
+    if n_steps < 1:
+        return False
+    # window DMA pieces need 8-aligned row slices: n must be a multiple of
+    # 8 and at least the R = roundup(h, 8) window margin
+    if st.nside % 8 or st.nside < _round_up(n_steps, 8):
+        return False
+    return st.n_steps == n_steps
+
+
+def fused_available(st: FaceStencil, kind, n_terms):
+    """Whether the fused kernel runs here (structure + a pallas backend)."""
+    if config.pallas_mode() is None:
+        return False
+    return cfp_structural_available(st, kind, n_terms)
+
+
+def cfp_geometry(n, h):
+    """(R, P_l) of the conv's native layout: R = roundup(h, 8) window
+    margin, P_l = roundup(n + 2h, 128) padded lane width (face col y at
+    lane y + h)."""
+    return _round_up(h, 8), _round_up(n + 2 * h, 128)
+
+
+def _pick_band(n, R, P, C, cout):
     """Row-band height Tr: the largest power-of-two band whose working set
     (recursion state + weight planes + accumulators + pipeline buffers)
-    fits the VMEM budget.  Bands slice only the sublane dim; lanes always
-    span the full padded width so everything stays tile-aligned."""
+    fits the VMEM budget."""
     budget = int(os.environ.get("DS_PALLAS_VMEM_MB", "96")) * 2**20
-    rh = _round_up(2 * h, 8)
-    P = _round_up(n + 2 * h, 128)
     for Tr in (512, 256, 128, 64, 32, 16, 8):
-        if Tr > n or n % Tr:
+        if Tr > n or n % Tr or Tr < R:
             continue
-        Sr = Tr + 2 * h
-        Sd = Tr + rh
+        Sd = Tr + 2 * R
         est = 4 * (
-            6 * C * Sr * P  # recursion state (prev2/prev1/t) + roll temps
+            6 * C * Sd * P  # recursion state (prev2/prev1/t) + roll temps
             + (C + 9) * Sd * P  # band scratch (x + weight planes)
+            + 2 * C * Sd * 128  # lane-strip scratch
             + cout * Tr * P  # AXPY accumulators
-            + 2 * cout * Tr * n  # double-buffered output block
+            + 2 * cout * Tr * P  # double-buffered output block
         )
         if est <= budget:
             return Tr
-    return min(n, 8)
+    return max(min(n, 8), R)
 
 
 def _band_geometry(st, C, cout):
     n = st.nside
     h = st.n_steps
-    P = _round_up(n + 2 * h, 128)  # lane-tile aligned padded width
-    rh = _round_up(2 * h, 8)
-    Tr = _pick_band(n, h, C, cout)
-    Sr = Tr + 2 * h
-    Sd = Tr + rh
-    return n, h, P, rh, Tr, Sr, Sd
+    R, P = cfp_geometry(n, h)
+    Tr = _pick_band(n, R, P, C, cout)
+    Sd = Tr + 2 * R
+    return n, h, R, P, Tr, Sd
 
 
-def _band_dma(xpad_ref, wpad_ref, xw_ref, w_ref, sem_x, sem_w, Tr, Sd):
+def _assemble_window(n, h, R, Tr, Sd, P,
+                     xc_ref, w_ref, top_ref, bot_ref, lw_ref, le_ref,
+                     xw, ww, ssw, sse, sems):
+    """DMA-assemble one halo-extended band window in VMEM.
+
+    Window row w holds face row ``i*Tr - R + w``; rows outside the h-deep
+    real halo are tolerated garbage (it advances 1 row per recursion step
+    and never reaches the center rows [R, R+Tr)).  All DMA row slices are
+    8-aligned in offset and size by construction.
+    """
     f = pl.program_id(0)
     i = pl.program_id(1)
-    cx = pltpu.make_async_copy(
-        xpad_ref.at[:, f, pl.ds(i * Tr, Sd), :], xw_ref, sem_x
-    )
-    cw = pltpu.make_async_copy(
-        wpad_ref.at[:, f, pl.ds(i * Tr, Sd), :], w_ref, sem_w
-    )
-    cx.start()
-    cw.start()
-    cx.wait()
-    cw.wait()
+    nbands = n // Tr  # static
+    copies = []
+
+    def dma(src, dst, k):
+        copies.append(pltpu.make_async_copy(src, dst, sems.at[k]))
+
+    def x_and_w(m0, size, d0):
+        m0 = pl.multiple_of(m0, 8)
+        dma(xc_ref.at[:, f, pl.ds(m0, size), :],
+            xw.at[:, pl.ds(d0, size), :], 0)
+        dma(w_ref.at[:, f, pl.ds(m0, size), :],
+            ww.at[:, pl.ds(d0, size), :], 1)
+        # lane-halo strips for the interior-face rows of the window
+        dma(lw_ref.at[:, f, pl.ds(m0, size), :],
+            ssw.at[:, pl.ds(d0, size), :], 2)
+        dma(le_ref.at[:, f, pl.ds(m0, size), :],
+            sse.at[:, pl.ds(d0, size), :], 3)
+
+    def top():
+        dma(top_ref.at[:, f], xw.at[:, 0:R, :], 4)
+        dma(w_ref.at[:, f, pl.ds(n, R), :], ww.at[:, 0:R, :], 5)
+
+    def bot():
+        dma(bot_ref.at[:, f], xw.at[:, pl.ds(Sd - R, R), :], 6)
+        dma(w_ref.at[:, f, pl.ds(n + R, R), :], ww.at[:, pl.ds(Sd - R, R), :], 7)
+
+    def run():
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+        copies.clear()
+
+    if nbands == 1:
+        x_and_w(0, n, R)
+        top()
+        bot()
+        run()
+    else:
+        # static-shape DMA per band position (pallas needs static sizes;
+        # row offsets stay 8-aligned because Tr and R are)
+        @pl.when(i == 0)
+        def _():
+            x_and_w(0, Tr + R, R)
+            top()
+            run()
+
+        @pl.when(i == nbands - 1)
+        def _():
+            x_and_w(n - Tr - R, Tr + R, 0)
+            bot()
+            run()
+
+        if nbands > 2:
+            @pl.when((i > 0) & (i < nbands - 1))
+            def _():
+                x_and_w(i * Tr - R, Tr + 2 * R, 0)
+                run()
+
+    # masked sub-lane stores: lane halos for interior-face window rows.
+    # For edge bands the non-interior rows got full-width strip data from
+    # top()/bot(), and the ssw/sse scratch rows there are stale — restrict
+    # the store to the interior-face row range.
+    if nbands == 1:
+        xw[:, R : R + n, 0:h] = ssw[:, R : R + n, 0:h]
+        xw[:, R : R + n, h + n : h + n + h] = sse[:, R : R + n, 0:h]
+    else:
+        @pl.when(i == 0)
+        def _():
+            xw[:, R:Sd, 0:h] = ssw[:, R:Sd, 0:h]
+            xw[:, R:Sd, h + n : h + n + h] = sse[:, R:Sd, 0:h]
+
+        @pl.when(i == nbands - 1)
+        def _():
+            xw[:, 0 : Sd - R, 0:h] = ssw[:, 0 : Sd - R, 0:h]
+            xw[:, 0 : Sd - R, h + n : h + n + h] = sse[:, 0 : Sd - R, 0:h]
+
+        if nbands > 2:
+            @pl.when((i > 0) & (i < nbands - 1))
+            def _():
+                xw[:, :, 0:h] = ssw[:, :, 0:h]
+                xw[:, :, h + n : h + n + h] = sse[:, :, 0:h]
 
 
 def _term_stream(kind, K, Sr, P, w, x0):
@@ -129,9 +237,8 @@ def _term_stream(kind, K, Sr, P, w, x0):
 
     Every term is full-size: the nine taps are fixed ±1 circular shifts
     (``pltpu.roll``), so wrap-around garbage creeps in one row/lane per
-    step from the window border.  Validity after step k covers rows/lanes
-    [k, Sr-k) / [k, P-k); callers only consume the h-offset center, which
-    stays exact for all k <= h = K-1.
+    step from the window border.  Callers only consume the (R, h)-offset
+    center, which stays exact for all k <= h = K-1.
     """
 
     def lap(p):
@@ -156,28 +263,25 @@ def _term_stream(kind, K, Sr, P, w, x0):
         prev2, prev1 = prev1, t
 
 
-def _stencil_kernel(kind, K, Tr, Sr, Sd, P, n, C, Cout, B, Fin, Fout,
-                    wk_ref, xpad_ref, wpad_ref, out_ref,
-                    xw_ref, w_ref, sem_x, sem_w):
+def _stencil_kernel(kind, K, n, h, R, Tr, Sd, P, C, Cout, B, Fin, Fout,
+                    wk_ref, xc_ref, w_ref, top_ref, bot_ref, lw_ref, le_ref,
+                    out_ref, xw, ww, ssw, sse, sems):
     """One (face, band) output tile.
 
-    xpad_ref: (C, 12, P_r, P) channels-first in HBM (rows padded to P_r so
-    every band DMA is sublane-aligned); wpad_ref: (9, 12, P_r, P) in the
-    same coordinates.  wk_ref: (K, Fin, Fout) scalar coefficients in SMEM.
-    xw_ref: (C, Sd, P) scratch; w_ref: (9, Sd, P).  out_ref:
-    (Cout, 1, Tr, n) — channel-first so the lane dim is n (face cols).
+    xc_ref: (C, 12, n, P) activations in HBM; w_ref: (9, 12, n+2R, P)
+    wrapped-extended weight planes; top/bot_ref: (C, 12, R, P) row-halo
+    strips; lw/le_ref: (C, 12, n, 128) lane-halo strips (h used lanes).
+    wk_ref: (K, Fin, Fout) scalar coefficients in SMEM.
+    out_ref: (Cout, 1, Tr, P) — full padded width, no final slice.
     """
-    _band_dma(xpad_ref, wpad_ref, xw_ref, w_ref, sem_x, sem_w, Tr, Sd)
-    h = (Sr - Tr) // 2
-    x0 = xw_ref[:, :Sr, :]
-    w = w_ref[:, :Sr, :]
+    _assemble_window(n, h, R, Tr, Sd, P, xc_ref, w_ref, top_ref, bot_ref,
+                     lw_ref, le_ref, xw, ww, ssw, sse, sems)
+    x0 = xw[:]
+    w = ww[:]
 
-    # per-output-channel AXPY accumulators over the full padded width
-    # (sliced to the n interior lanes once, at the very end); everything
-    # stays <=3D — Mosaic rejects 4D shape casts
     acc = [None] * Cout
-    for k, t in enumerate(_term_stream(kind, K, Sr, P, w, x0)):
-        ctr = t[:, h : h + Tr, :]  # (C, Tr, P)
+    for k, t in enumerate(_term_stream(kind, K, Sd, P, w, x0)):
+        ctr = t[:, R : R + Tr, :]  # (C, Tr, P)
         for b in range(B):
             for fo in range(Fout):
                 s = acc[b * Fout + fo]
@@ -186,30 +290,31 @@ def _stencil_kernel(kind, K, Tr, Sr, Sd, P, n, C, Cout, B, Fin, Fout,
                     s = c if s is None else s + c
                 acc[b * Fout + fo] = s
 
-    res = jnp.stack(acc, axis=0)  # (Cout, Tr, P)
-    out_ref[:, 0] = res[:, :, h : h + n].astype(out_ref.dtype)
+    out_ref[:, 0] = jnp.stack(acc, axis=0).astype(out_ref.dtype)
 
 
-def _grad_kernel(kind, K, Tr, Sr, Sd, P, n, C, Cout, B, Fin, Fout,
-                 xpad_ref, wpad_ref, dy_ref, out_ref,
-                 xw_ref, w_ref, sem_x, sem_w):
+def _grad_kernel(kind, K, n, h, R, Tr, Sd, P, C, Cout, B, Fin, Fout,
+                 xc_ref, w_ref, top_ref, bot_ref, lw_ref, le_ref, dy_ref,
+                 out_ref, xw, ww, ssw, sse, sems):
     """Accumulates dW[k, fi, fo] = sum_bands sum_b <T_k(x)[b, fi], dy[b, fo]>.
 
-    dy_ref: (Cout, 1, Tr, P) block, pre-shifted by h lanes so it aligns
-    with the band window's padded coordinates (zeros elsewhere — they
-    also mask the window's wrap-around garbage lanes).  out_ref:
-    (K*Fin, Fout), shared across the (sequential) TPU grid.
+    dy_ref: (Cout, 1, Tr, P) block in the conv's native layout; its
+    non-interior lanes (halo/pad — garbage) are masked to zero in VMEM.
+    out_ref: (K*Fin, Fout), shared across the (sequential) TPU grid.
     """
-    _band_dma(xpad_ref, wpad_ref, xw_ref, w_ref, sem_x, sem_w, Tr, Sd)
-    h = (Sr - Tr) // 2
-    x0 = xw_ref[:, :Sr, :]
-    w = w_ref[:, :Sr, :]
+    _assemble_window(n, h, R, Tr, Sd, P, xc_ref, w_ref, top_ref, bot_ref,
+                     lw_ref, le_ref, xw, ww, ssw, sse, sems)
+    x0 = xw[:]
+    w = ww[:]
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
-    dy = dy_ref[:, 0]  # (Cout, Tr, P)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Tr, P), 1)
+    interior = (lane >= h) & (lane < h + n)
+    dy = jnp.where(interior[None], dy_ref[:, 0], 0.0)  # (Cout, Tr, P)
+
     rows = []  # assembled as (K*Fin, Fout) — Mosaic rejects scalar stacks
-    for k, t in enumerate(_term_stream(kind, K, Sr, P, w, x0)):
-        ctr = t[:, h : h + Tr, :]  # (C, Tr, P)
+    for k, t in enumerate(_term_stream(kind, K, Sd, P, w, x0)):
+        ctr = t[:, R : R + Tr, :]  # (C, Tr, P)
         for fi in range(Fin):
             cells = []
             for fo in range(Fout):
@@ -232,66 +337,91 @@ def _grad_kernel(kind, K, Tr, Sr, Sd, P, n, C, Cout, B, Fin, Fout,
         out_ref[...] = out_ref[...] + block
 
 
-def _run_stencil_kernel(st, kind, n_terms, xpad, wpad, wk3, B, interpret):
+def _strip_arrays(st, xc):
+    """Build the four halo-strip DMA sources from the activation interior.
+
+    Returns top/bot (C, 12, R, P_l) row-halo pieces (strip rows positioned
+    so a full R-row DMA drops the h real halo rows exactly against the
+    face edge, garbage elsewhere) and lw/le (C, 12, n, 128) lane-halo
+    strips (h used lanes).
+    """
+    from .stencil import edge_strips
+
+    n, h = st.nside, st.n_steps
+    R, P_l = cfp_geometry(n, h)
+    C = xc.shape[0]
+    f32 = xc.dtype
+    west, east, south, north = edge_strips(n, h, xc, embedded=True)
+
+    def zer(*s):
+        return jnp.zeros((C, 12) + s, f32)
+
+    P0 = n + 2 * h
+    wp = jnp.concatenate([west, zer(h, P_l - P0)], axis=3)
+    ep = jnp.concatenate([east, zer(h, P_l - P0)], axis=3)
+    top = jnp.concatenate([zer(R - h, P_l), wp], axis=2) if R > h else wp
+    bot = jnp.concatenate([ep, zer(R - h, P_l)], axis=2) if R > h else ep
+    lw = jnp.concatenate([south, zer(n, 128 - h)], axis=3)
+    le = jnp.concatenate([north, zer(n, 128 - h)], axis=3)
+    return top, bot, lw, le
+
+
+def _run_stencil_kernel(st, kind, n_terms, xc, wext, strips, wk3, B,
+                        interpret):
     """pallas_call plumbing for the forward/dx kernel.
 
-    xpad: (C, 12, P_r, P) channels-first, rows padded; wpad: (9, 12, P_r, P)
-    in xpad coordinates; wk3: (K, Fin, Fout).  Returns (Cout, 12, n, n) f32.
+    xc: (C, 12, n, P_l); wext: (9, 12, n+2R, P_l) wrapped-extended weight
+    planes; strips: (top, bot, lw, le); wk3: (K, Fin, Fout).
+    Returns (Cout, 12, n, P_l) f32.
     """
-    C = xpad.shape[0]
+    C = xc.shape[0]
     K, Fin, Fout = wk3.shape
     Cout = B * Fout
-    n, h, P, rh, Tr, Sr, Sd = _band_geometry(st, C, Cout)
+    n, h, R, P, Tr, Sd = _band_geometry(st, C, Cout)
 
-    kernel = partial(_stencil_kernel, kind, K, Tr, Sr, Sd, P, n, C, Cout,
+    kernel = partial(_stencil_kernel, kind, K, n, h, R, Tr, Sd, P, C, Cout,
                      B, Fin, Fout)
     return pl.pallas_call(
         kernel,
         grid=(12, n // Tr),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # wk3 coefficients
-            pl.BlockSpec(memory_space=pl.ANY),  # xpad — bands DMA'd
-            pl.BlockSpec(memory_space=pl.ANY),  # wpad — bands DMA'd
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 6,
         out_specs=pl.BlockSpec(
-            (Cout, 1, Tr, n), lambda f, i: (0, f, i, 0),
+            (Cout, 1, Tr, P), lambda f, i: (0, f, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((Cout, 12, n, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Cout, 12, n, P), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((C, Sd, P), jnp.float32),
             pltpu.VMEM((9, Sd, P), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((C, Sd, 128), jnp.float32),
+            pltpu.VMEM((C, Sd, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((8,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 2**20,
         ),
         interpret=interpret,
-    )(wk3, xpad, wpad)
+    )(wk3, xc, wext, *strips)
 
 
-def _run_grad_kernel(st, kind, n_terms, xpad, wpad, dyp, B, Fin, interpret):
+def _run_grad_kernel(st, kind, n_terms, xc, wext, strips, dy, B, Fin,
+                     interpret):
     """dW (K*Fin, Fout) = per-term scalar contractions of the basis of x
-    with dy.
-
-    dyp: (Cout, 12, n, P) channel-first, lane-aligned to the padded window
-    coordinates (see :func:`_grad_kernel`).
-    """
-    C = xpad.shape[0]
-    Cout = dyp.shape[0]
+    with dy (both in the conv's native layout)."""
+    C = xc.shape[0]
+    Cout = dy.shape[0]
     Fout = Cout // B
     K = n_terms
-    n, h, P, rh, Tr, Sr, Sd = _band_geometry(st, C, Cout)
+    n, h, R, P, Tr, Sd = _band_geometry(st, C, Cout)
 
-    kernel = partial(_grad_kernel, kind, K, Tr, Sr, Sd, P, n, C, Cout,
+    kernel = partial(_grad_kernel, kind, K, n, h, R, Tr, Sd, P, C, Cout,
                      B, Fin, Fout)
     return pl.pallas_call(
         kernel,
         grid=(12, n // Tr),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # xpad
-            pl.BlockSpec(memory_space=pl.ANY),  # wpad
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6
+        + [
             pl.BlockSpec(
                 (Cout, 1, Tr, P), lambda f, i: (0, f, i, 0),
                 memory_space=pltpu.VMEM,
@@ -304,14 +434,15 @@ def _run_grad_kernel(st, kind, n_terms, xpad, wpad, dyp, B, Fin, interpret):
         scratch_shapes=[
             pltpu.VMEM((C, Sd, P), jnp.float32),
             pltpu.VMEM((9, Sd, P), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((C, Sd, 128), jnp.float32),
+            pltpu.VMEM((C, Sd, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((8,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 2**20,
         ),
         interpret=interpret,
-    )(xpad, wpad, dyp)
+    )(xc, wext, *strips, dy)
 
 
 # ---------------------------------------------------------------------------
@@ -328,17 +459,18 @@ def _ball_spmv(idx, val, t):
     return y
 
 
-
-def _ball_terms(tables, x3, n_terms, kind):
+def _ball_terms(st, tables, xc, n_terms, kind):
     """Exact per-term basis values over the correction ball.
 
-    x3: (C, 12, n, n) channels-first.  The ball is O(100) rows, so the
-    (C, Bn) gather + tiny transpose cost nothing; yields (Bn, C) per term.
+    xc: (C, 12, n, P_l) native layout.  The ball is O(100) rows read via
+    small per-corner patch slices — a full-map gather makes XLA relayout
+    the whole activation (~2.8 ms at nside=1024) just to serve it.
+    Yields (Bn, C) per term.
     """
     idx = tables["corr_idx"]
     val = tables["corr_val"]
-    flat = x3.reshape(x3.shape[0], -1)
-    t = jnp.transpose(jnp.take(flat, tables["corr_src"], axis=1))
+    Bn = int(np.asarray(st.corr_src).shape[0])
+    t = _gather_rows(st, xc, _ball_patches(st), Bn)
     t = t.astype(jnp.float32)  # (Bn, C)
     yield t
     prev2, prev1 = None, t
@@ -350,7 +482,7 @@ def _ball_terms(tables, x3, n_terms, kind):
         prev2, prev1 = prev1, tk
 
 
-def _corrected_rows(tables, x3, wk3, n_terms, kind, B):
+def _corrected_rows(st, tables, xc, wk3, n_terms, kind, B):
     """Exact conv outputs at the corrupt rows via the precomputed ball.
 
     Returns (Rc, B*Fout).
@@ -366,17 +498,17 @@ def _corrected_rows(tables, x3, wk3, n_terms, kind, B):
         ).reshape(-1, B * Fout)
 
     acc = None
-    for k, tk in enumerate(_ball_terms(tables, x3, n_terms, kind)):
+    for k, tk in enumerate(_ball_terms(st, tables, xc, n_terms, kind)):
         d = term_dot(tk[out_rows], k)
         acc = d if acc is None else acc + d
     return acc
 
 
-def _basis_at_rows(tables, x3, n_terms, kind):
+def _basis_at_rows(st, tables, xc, n_terms, kind):
     """Exact per-term basis values at the corrupt rows: (K, Rc, C)."""
     out_rows = tables["corr_out_ball"]
     return jnp.stack(
-        [tk[out_rows] for tk in _ball_terms(tables, x3, n_terms, kind)],
+        [tk[out_rows] for tk in _ball_terms(st, tables, xc, n_terms, kind)],
         axis=0,
     )
 
@@ -392,10 +524,19 @@ def _corr_patches(st):
     such a scatter as one or more full-size copies (~15 ms/conv at
     nside=1024).
     """
-    if getattr(st, "_corr_patch_cache", None) is None:
+    return _group_patches(st, "corr_out_face", "_corr_patch_cache")
+
+
+def _ball_patches(st):
+    """Static patch metadata for reading the ball's source rows (the
+    O(100) pixels feeding the exact corner recursion)."""
+    return _group_patches(st, "corr_src", "_ball_patch_cache")
+
+
+def _group_patches(st, ids_attr, cache_attr):
+    if getattr(st, cache_attr, None) is None:
         n = st.nside
-        ids = np.asarray(st.corr_out_face if hasattr(st, "corr_out_face")
-                         else [], dtype=np.int64)
+        ids = np.asarray(getattr(st, ids_attr, []), dtype=np.int64)
         f = ids // (n * n)
         x = (ids // n) % n
         y = ids % n
@@ -411,56 +552,65 @@ def _corr_patches(st):
             sel = np.full((x1 - x0, y1 - y0), -1, np.int32)
             sel[x[idxs] - x0, y[idxs] - y0] = idxs
             patches.append((face, x0, y0, sel))
-        st._corr_patch_cache = patches
-    return st._corr_patch_cache
+        setattr(st, cache_attr, patches)
+    return getattr(st, cache_attr)
+
+
+def _gather_rows(st, arr, patches, count):
+    """Values of ``arr`` (C*, 12, n, P_l) at the patch-selected rows:
+    (count, C*) — small patch reads, no full-map gather."""
+    h = st.n_steps
+    out = jnp.zeros((count, arr.shape[0]), arr.dtype)
+    for face, x0, y0, sel in patches:
+        rx, ry = sel.shape
+        l0 = y0 + h
+        patch = arr[:, face, x0 : x0 + rx, l0 : l0 + ry].reshape(
+            arr.shape[0], rx * ry
+        )
+        m = sel.reshape(-1) >= 0
+        out = out.at[jnp.asarray(sel.reshape(-1)[m])].set(
+            jnp.transpose(patch[:, jnp.asarray(np.nonzero(m)[0])])
+        )
+    return out
 
 
 def _patch_corrections(st, y, y_fix):
-    """Overwrite the corrupt rows of y (Cout, 12, n, n) with the exact
+    """Overwrite the corrupt rows of y (Cout, 12, n, P_l) with the exact
     values ``y_fix`` (Rc, Cout), via per-corner static-slice updates."""
+    h = st.n_steps
     yt = jnp.transpose(y_fix)  # (Cout, Rc)
     for face, x0, y0, sel in _corr_patches(st):
         selj = jnp.asarray(sel)
         rx, ry = sel.shape
-        patch = y[:, face, x0 : x0 + rx, y0 : y0 + ry]
+        l0 = y0 + h
+        patch = y[:, face, x0 : x0 + rx, l0 : l0 + ry]
         vals = yt[:, jnp.clip(selj, 0)]  # (Cout, rx, ry), tiny gather
         patch = jnp.where(selj[None] >= 0, vals, patch)
-        y = y.at[:, face, x0 : x0 + rx, y0 : y0 + ry].set(
+        y = y.at[:, face, x0 : x0 + rx, l0 : l0 + ry].set(
             patch.astype(y.dtype)
         )
     return y
 
 
 def _zero_corrections(st, dy):
-    """Zero the corrupt rows of dy (Cout, 12, n, n) via the same static
+    """Zero the corrupt rows of dy (Cout, 12, n, P_l) via the same static
     corner patches (scatter-free)."""
+    h = st.n_steps
     for face, x0, y0, sel in _corr_patches(st):
         selj = jnp.asarray(sel)
         rx, ry = sel.shape
-        patch = dy[:, face, x0 : x0 + rx, y0 : y0 + ry]
+        l0 = y0 + h
+        patch = dy[:, face, x0 : x0 + rx, l0 : l0 + ry]
         patch = jnp.where(selj[None] >= 0, jnp.zeros_like(patch), patch)
-        dy = dy.at[:, face, x0 : x0 + rx, y0 : y0 + ry].set(patch)
+        dy = dy.at[:, face, x0 : x0 + rx, l0 : l0 + ry].set(patch)
     return dy
 
 
 def _gather_corrections(st, dy):
     """dy values at the corrupt rows, (Rc, Cout) — small patch reads, no
     full-map gather."""
-    parts = []
-    for face, x0, y0, sel in _corr_patches(st):
-        rx, ry = sel.shape
-        patch = dy[:, face, x0 : x0 + rx, y0 : y0 + ry].reshape(
-            dy.shape[0], rx * ry
-        )
-        parts.append((patch, sel.reshape(-1)))
     Rc = int(np.asarray(st.corr_out_face).shape[0])
-    out = jnp.zeros((Rc, dy.shape[0]), dy.dtype)
-    for patch, sel in parts:
-        m = sel >= 0
-        out = out.at[jnp.asarray(sel[m])].set(
-            jnp.transpose(patch[:, jnp.asarray(np.nonzero(m)[0])])
-        )
-    return out
+    return _gather_rows(st, dy, _corr_patches(st), Rc)
 
 
 # ---------------------------------------------------------------------------
@@ -468,117 +618,91 @@ def _gather_corrections(st, dy):
 # ---------------------------------------------------------------------------
 
 
-def _assemble_padded(st, tables, x3):
-    """(C, 12, n, n) -> (C, 12, P_r, P_l): halo fill + row/lane alignment
-    padding in ONE materialization pass (nested concatenation — XLA fuses
-    it into a single output write; the strip gathers are O(nside) rows).
-
-    Replaces the old pad + four dynamic-update-slice chain, which cost
-    several full HBM round trips per conv.
-    """
-    from .stencil import edge_strips
-
-    n, h = st.nside, st.n_steps
-    C = x3.shape[0]
-    P0 = n + 2 * h
-    P_l = _round_up(P0, 128)
-    P_r = n + _round_up(2 * h, 8)
-    f32 = jnp.float32
-    x3 = x3.astype(f32)
-
-    def zeros(*s):
-        return jnp.zeros((C, 12) + s, f32)
-
-    west, east, south, north = edge_strips(n, h, x3)
-    interior = jnp.concatenate(
-        [south, x3, north, zeros(n, P_l - P0)], axis=3
-    )  # (C, 12, n, P_l)
-    west = jnp.concatenate([west, zeros(h, P_l - P0)], axis=3)
-    east = jnp.concatenate([east, zeros(h, P_l - P0)], axis=3)
-    return jnp.concatenate(
-        [west, interior, east, zeros(P_r - n - 2 * h, P_l)], axis=2
-    )
-
-
-def _forward_cf(st, kind, n_terms, B, interpret, tables, x3, kernel):
-    """x3: (C, 12, n, n) channels-first face images (C = B*Fin, b-major)
-    -> (Cout, 12, n, n)."""
-    n = st.nside
-    C = x3.shape[0]
+def _forward_cfp(st, kind, n_terms, B, interpret, tables, xc, kernel):
+    """xc: (C, 12, n, P_l) native layout (C = B*Fin, b-major) ->
+    (Cout, 12, n, P_l).  Halo lanes of xc may be stale garbage — strips
+    are rebuilt from the interior every call."""
+    C = xc.shape[0]
     Fin = C // B
     Fout = kernel.shape[-1]
 
     wk3 = jnp.transpose(
         kernel.astype(jnp.float32).reshape(Fin, n_terms, Fout), (1, 0, 2)
     )  # (K, Fin, Fout)
-    xpad = _assemble_padded(st, tables, x3)
-    wpad = tables["weights"].astype(jnp.float32)  # already (9, 12, P_r, P_l)
-    y = _run_stencil_kernel(st, kind, n_terms, xpad, wpad, wk3, B, interpret)
+    xc = xc.astype(jnp.float32)
+    strips = _strip_arrays(st, xc)
+    wext = tables["weights"].astype(jnp.float32)  # (9, 12, n+2R, P_l)
+    y = _run_stencil_kernel(st, kind, n_terms, xc, wext, strips, wk3, B,
+                            interpret)
     if tables["corr_src"].shape[0]:
-        y_fix = _corrected_rows(tables, x3, wk3, n_terms, kind, B)  # (Rc, Cout)
+        y_fix = _corrected_rows(st, tables, xc, wk3, n_terms, kind, B)
         y = _patch_corrections(st, y, y_fix)
     return y
 
 
-def fused_stencil_conv_cf(st: FaceStencil, tables, x3, kernel, n_terms, kind,
-                          B, interpret=False):
-    """Fused K-term polynomial graph conv on channels-first face images.
+def fused_stencil_conv_cfp(st: FaceStencil, tables, xc, kernel, n_terms,
+                           kind, B, interpret=False):
+    """Fused K-term polynomial graph conv in its native padded layout.
 
     This is the zero-permutation hot path: input and output share the
-    kernel's native layout, so a chain of convs (the model's face-native
-    mode) runs with no transposes at all.
+    layout (C, 12, n, P_l) (face col y at lane y + h), so a chain of convs
+    runs with no transposes and no halo-materialization passes at all —
+    cross-face halos are assembled in VMEM per band from four small strip
+    arrays.
 
     :param st: FaceStencil built with ``n_steps = n_terms - 1``
     :param tables: device arrays (``stencil_tables(st)`` + correction arrays)
-    :param x3: (B*Fin, 12, n, n) face images, batch-major channels
+    :param xc: (B*Fin, 12, n, P_l) activations, batch-major channels;
+        only the interior (lanes [h, h+n)) is read
     :param kernel: (Fin*n_terms, Fout)
     :param B: static batch size (the channel packing)
-    :return: (B*Fout, 12, n, n), float32
+    :return: (B*Fout, 12, n, P_l), float32; lanes outside the interior are
+        garbage
     """
 
     @partial(jax.custom_vjp, nondiff_argnums=())
-    def conv(tables, x3, kernel):
-        return _forward_cf(st, kind, n_terms, B, interpret, tables, x3, kernel)
+    def conv(tables, xc, kernel):
+        return _forward_cfp(st, kind, n_terms, B, interpret, tables, xc,
+                            kernel)
 
-    def fwd(tables, x3, kernel):
-        return conv(tables, x3, kernel), (tables, x3, kernel)
+    def fwd(tables, xc, kernel):
+        return conv(tables, xc, kernel), (tables, xc, kernel)
 
     def bwd(res, dy):
-        tables, x3, kernel = res
-        n = st.nside
-        C = x3.shape[0]
+        tables, xc, kernel = res
+        C = xc.shape[0]
         Fin = C // B
         Fout = kernel.shape[-1]
-        Cout = B * Fout
         dy = dy.astype(jnp.float32)
 
-        # dx: L~ is symmetric, so dx = sum_k T_k(L~) dy W_k^T — the same
-        # fused kernel with the transposed channel kernel
+        # dx: the patched forward computes the EXACT symmetric operator
+        # y = sum_k T_k(L~) x W_k at every output row (corner rows via the
+        # ball), so its adjoint is the same patched conv with the
+        # transposed channel kernel applied to the full dy.  dy's halo
+        # lanes are garbage by the layout contract (downstream consumers
+        # only read the interior), and the conv ignores them.
         kernel_t = (
             kernel.reshape(Fin, n_terms, Fout)
             .transpose(2, 1, 0)
             .reshape(Fout * n_terms, Fin)
         )
-        dx = _forward_cf(st, kind, n_terms, B, interpret, tables, dy, kernel_t)
-        dx = dx.astype(x3.dtype)
-
-        # dW: per-term scalar contractions over the same band windows;
-        # corrupt rows contribute through the exact ball basis instead of
-        # the kernel's garbage values
-        wpad = tables["weights"].astype(jnp.float32)
-        xpad = _assemble_padded(st, tables, x3)
         has_corr = bool(tables["corr_src"].shape[0])
+        dx = _forward_cfp(st, kind, n_terms, B, interpret, tables, dy,
+                          kernel_t)
+        dx = dx.astype(xc.dtype)
         dy_clean = _zero_corrections(st, dy) if has_corr else dy
-        # lane-shift dy by h so it lines up with the window's padded coords
-        h = st.n_steps
-        P_l = _round_up(n + 2 * h, 128)
-        dyp = jnp.pad(dy_clean, ((0, 0), (0, 0), (0, 0), (h, P_l - n - h)))
+
+        # dW: per-term scalar contractions over the same band windows
+        xcf = xc.astype(jnp.float32)
+        strips = _strip_arrays(st, xcf)
+        wext = tables["weights"].astype(jnp.float32)
         dwk = _run_grad_kernel(
-            st, kind, n_terms, xpad, wpad, dyp, B, Fin, interpret,
+            st, kind, n_terms, xcf, wext, strips, dy_clean, B, Fin,
+            interpret,
         ).reshape(n_terms, Fin, Fout)
         if has_corr:
-            basis = _basis_at_rows(tables, x3, n_terms, kind)  # (K, Rc, C)
-            dy_rc = _gather_corrections(st, dy)  # (Rc, Cout)
+            basis = _basis_at_rows(st, tables, xcf, n_terms, kind)
+            dy_rc = _gather_corrections(st, dy)
             dwk = dwk + jnp.einsum(
                 "krbf,rbo->kfo",
                 basis.reshape(n_terms, -1, B, Fin),
@@ -594,7 +718,30 @@ def fused_stencil_conv_cf(st: FaceStencil, tables, x3, kernel, n_terms, kind,
         return (dtables, dx, dkernel)
 
     conv.defvjp(fwd, bwd)
-    return conv(tables, x3, kernel)
+    return conv(tables, xc, kernel)
+
+
+def fused_stencil_conv_cf(st: FaceStencil, tables, x3, kernel, n_terms, kind,
+                          B, interpret=False):
+    """Fused conv on (C, 12, n, n) channels-first face images — embeds into
+    the native padded layout, runs the conv, and slices the interior back
+    out (one lane-pad copy each way; chains should use
+    :func:`fused_stencil_conv_cfp` directly)."""
+    n, h = st.nside, st.n_steps
+    _, P_l = cfp_geometry(n, h)
+    C = x3.shape[0]
+    xc = jnp.concatenate(
+        [
+            jnp.zeros((C, 12, n, h), x3.dtype),
+            x3,
+            jnp.zeros((C, 12, n, P_l - n - h), x3.dtype),
+        ],
+        axis=3,
+    )
+    y = fused_stencil_conv_cfp(
+        st, tables, xc, kernel, n_terms, kind, B, interpret=interpret
+    )
+    return y[:, :, :, h : h + n]
 
 
 def fused_stencil_conv(st: FaceStencil, tables, xf2d, kernel, n_terms, kind, B,

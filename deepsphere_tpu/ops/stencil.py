@@ -42,8 +42,11 @@ __all__ = [
 ]
 
 
-def _extract_bands(x3, n, h):
-    """The four face-edge bands of x3 (C, 12, n, n), cut to depth h.
+def _extract_bands(x3, n, h, lane_off=0):
+    """The four face-edge bands of the map, cut to depth h in face coords.
+
+    x3: (C, 12, n, W) with face col y at lane ``y + lane_off`` (0 for a
+    bare face image, h for the conv's native padded layout).
 
     On TPU the cut runs as a tiny Pallas DMA kernel producing 8-row /
     128-lane aligned bands: a Pallas custom call pins default layouts, so
@@ -56,10 +59,16 @@ def _extract_bands(x3, n, h):
 
     from .. import config
 
+    W = x3.shape[3]
     rb = min(_round_up_8(h), n)
-    lb = min(128, n)
+    # aligned lane windows containing face cols [0, h) and [n-h, n)
+    a1 = ((lane_off + n - h) // 128) * 128
     use_pallas = (
-        config.pallas_mode() == "compile" and n % 128 == 0 and rb == 8
+        config.pallas_mode() == "compile"
+        and rb == 8
+        and n >= 128
+        and lane_off + h <= 128
+        and a1 + 128 <= W
     )
     if use_pallas:
         from jax.experimental import pallas as pl
@@ -73,8 +82,8 @@ def _extract_bands(x3, n, h):
                 for i, (dst, src) in enumerate([
                     (fr_ref, x_ref.at[:, :, 0:rb, :]),
                     (lr_ref, x_ref.at[:, :, n - rb : n, :]),
-                    (fc_ref, x_ref.at[:, :, :, 0:lb]),
-                    (lc_ref, x_ref.at[:, :, :, n - lb : n]),
+                    (fc_ref, x_ref.at[:, :, :, 0:128]),
+                    (lc_ref, x_ref.at[:, :, :, a1 : a1 + 128]),
                 ])
             ]
             for c in copies:
@@ -89,23 +98,28 @@ def _extract_bands(x3, n, h):
                 pl.BlockSpec(memory_space=pl.ANY) for _ in range(4)
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((C, 12, rb, n), x3.dtype),
-                jax.ShapeDtypeStruct((C, 12, rb, n), x3.dtype),
-                jax.ShapeDtypeStruct((C, 12, n, lb), x3.dtype),
-                jax.ShapeDtypeStruct((C, 12, n, lb), x3.dtype),
+                jax.ShapeDtypeStruct((C, 12, rb, W), x3.dtype),
+                jax.ShapeDtypeStruct((C, 12, rb, W), x3.dtype),
+                jax.ShapeDtypeStruct((C, 12, n, 128), x3.dtype),
+                jax.ShapeDtypeStruct((C, 12, n, 128), x3.dtype),
             ),
             scratch_shapes=[pltpu.SemaphoreType.DMA((4,))],
         )(x3)
+        fc_off = lane_off
+        lc_off = lane_off + n - h - a1
     else:
         fr = x3[:, :, :rb, :]
         lr = x3[:, :, n - rb :, :]
-        fc = x3[:, :, :, :lb]
-        lc = x3[:, :, :, n - lb :]
+        fc = x3[:, :, :, lane_off : lane_off + min(128, W - lane_off)]
+        lc_w = min(128, lane_off + n)
+        lc = x3[:, :, :, lane_off + n - lc_w : lane_off + n]
+        fc_off = 0
+        lc_off = lc.shape[3] - h
     return (
-        fr[:, :, :h, :],
-        lr[:, :, rb - h :, :],
-        fc[:, :, :, :h],
-        lc[:, :, :, lb - h :],
+        fr[:, :, :h, lane_off : lane_off + n],
+        lr[:, :, rb - h :, lane_off : lane_off + n],
+        fc[:, :, :, fc_off : fc_off + h],
+        lc[:, :, :, lc_off : lc_off + h],
     )
 
 
@@ -164,20 +178,21 @@ def _edge_block(bands, n, h, f, xs, ys):
     return blk
 
 
-def edge_strips(n, h, x3):
+def edge_strips(n, h, x3, embedded=False):
     """The four halo strips of every face, as structured edge copies.
 
-    x3: (C, 12, n, n) channels-first faces.  Returns
-    ``(west, east, south, north)`` with west/east (C, 12, h, n+2h)
-    spanning the full padded width (corners included) and south/north
-    (C, 12, n, h) covering interior rows — the same coverage as the
-    gather tables built in :mod:`..graph.stencil` (hmP strips), which
-    they replace on the hot path.
+    x3: (C, 12, n, n) channels-first faces — or, with ``embedded=True``,
+    (C, 12, n, P_l) in the conv's native padded layout (face col y at
+    lane y + h).  Returns ``(west, east, south, north)`` with west/east
+    (C, 12, h, n+2h) spanning the full padded width (corners included)
+    and south/north (C, 12, n, h) covering interior rows — the same
+    coverage as the gather tables built in :mod:`..graph.stencil` (hmP
+    strips), which they replace on the hot path.
 
     The four face-edge bands are sliced from the full map ONCE (four big
     strided reads); all per-face work then touches only those thin bands.
     """
-    bands = _extract_bands(x3, n, h)
+    bands = _extract_bands(x3, n, h, lane_off=h if embedded else 0)
 
     def row_strip(xs):
         return jnp.stack(
@@ -268,8 +283,9 @@ def stencil_matvec(st: FaceStencil, tables, xf):
     :return: (12, n, n, C)
     """
     n, s = st.nside, st.n_steps
-    # weight planes live in padded-activation coordinates; slice the interior
-    w = tables["weights"][:, :, s : s + n, s : s + n].astype(xf.dtype)
+    # weight planes: wrapped-extended layout — interior face rows at [0, n),
+    # face col y at lane y + s
+    w = tables["weights"][:, :, 0:n, s : s + n].astype(xf.dtype)
     xpad = pad_faces(st, xf, tables)
     y = w[8][..., None] * xf
     for d, (dx, dy) in enumerate(STENCIL_OFFSETS[:8]):
@@ -377,6 +393,87 @@ def stencil_graph_conv(st: FaceStencil, x, kernel, n_terms, kind, tables=None,
 
         y = face_to_nest(y.reshape(M, B * Fout)).reshape(M, B, Fout)
     return jnp.transpose(y, (1, 0, 2)).astype(x.dtype)
+
+
+def stencil_graph_conv_cface(st: FaceStencil, x5, kernel, n_terms, kind,
+                             tables=None):
+    """Polynomial graph conv in the channels-first padded layout.
+
+    The model assembler's zero-permutation hot path: input and output are
+    (B, F, 12, n, P_l) with face col y at lane ``y + h`` (see
+    :func:`..ops.pallas_stencil.fused_stencil_conv_cfp`).  On TPU this runs
+    the fused Pallas kernel directly on the native layout (no transposes,
+    no halo materialization); elsewhere it falls back to the per-step XLA
+    face path via an interior slice, so layout plans stay
+    platform-independent.
+
+    :param x5: (B, Fin, 12, n, P_l); only interior lanes are read
+    :return: (B, Fout, 12, n, P_l); non-interior lanes are garbage
+    """
+    from .pallas_stencil import cfp_geometry, fused_available
+
+    B, Fin, _, n, P_l = x5.shape
+    h = st.n_steps
+    R, P_exp = cfp_geometry(n, h)
+    if n != st.nside or P_l != P_exp:
+        raise ValueError(
+            f"cface input geometry {(n, P_l)} does not match the stencil "
+            f"({st.nside}, {P_exp})"
+        )
+    Fout = kernel.shape[-1]
+    tables = _as_device(tables, st)
+    mode = config.pallas_mode()
+
+    if fused_available(st, kind, n_terms):
+        from .pallas_stencil import fused_stencil_conv_cfp
+
+        y = fused_stencil_conv_cfp(
+            st, tables, x5.reshape(B * Fin, 12, n, P_l), kernel, n_terms,
+            kind, B, interpret=(mode == "interpret"),
+        )
+        return y.reshape(B, Fout, 12, n, P_l).astype(x5.dtype)
+
+    # platform fallback: interior slice -> per-step XLA face path -> re-pad
+    M = 12 * n * n
+    xi = x5[:, :, :, :, h : h + n]  # (B, Fin, 12, n, n)
+    xf = jnp.transpose(xi.reshape(B, Fin, M), (0, 2, 1))  # (B, M, Fin)
+    yf = stencil_graph_conv(
+        st, xf, kernel, n_terms, kind, tables=tables, layout="face",
+        fused="never",
+    )
+    yi = jnp.transpose(yf, (0, 2, 1)).reshape(B, Fout, 12, n, n)
+    return jnp.concatenate(
+        [
+            jnp.zeros((B, Fout, 12, n, h), yi.dtype),
+            yi,
+            jnp.zeros((B, Fout, 12, n, P_l - n - h), yi.dtype),
+        ],
+        axis=4,
+    )
+
+
+def cface_embed(x, n, h):
+    """(B, M, F) face-flat -> (B, F, 12, n, P_l) channels-first padded."""
+    from .pallas_stencil import cfp_geometry
+
+    B, M, F = x.shape
+    _, P_l = cfp_geometry(n, h)
+    xi = jnp.transpose(x, (0, 2, 1)).reshape(B, F, 12, n, n)
+    return jnp.concatenate(
+        [
+            jnp.zeros((B, F, 12, n, h), x.dtype),
+            xi,
+            jnp.zeros((B, F, 12, n, P_l - n - h), x.dtype),
+        ],
+        axis=4,
+    )
+
+
+def cface_extract(x5, h):
+    """(B, F, 12, n, P_l) channels-first padded -> (B, M, F) face-flat."""
+    B, F, _, n, _ = x5.shape
+    xi = x5[:, :, :, :, h : h + n].reshape(B, F, 12 * n * n)
+    return jnp.transpose(xi, (0, 2, 1))
 
 
 def stencil_basis_stack(st: FaceStencil, kind, x2d, n_terms, tables=None):
