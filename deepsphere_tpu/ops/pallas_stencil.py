@@ -117,8 +117,8 @@ def _pick_band(n, R, P, C, cout):
         Sd = Tr + 2 * R
         est = 4 * (
             6 * C * Sd * P  # recursion state (prev2/prev1/t) + roll temps
-            + (C + 9) * Sd * P  # band scratch (x + weight planes)
-            + 2 * C * Sd * 128  # lane-strip scratch
+            + 2 * (C + 9) * Sd * P  # double-buffered band scratch
+            + 4 * C * Sd * 128  # double-buffered lane-strip scratch
             + cout * Tr * P  # AXPY accumulators
             + 2 * cout * Tr * P  # double-buffered output block
         )
@@ -136,100 +136,134 @@ def _band_geometry(st, C, cout):
     return n, h, R, P, Tr, Sd
 
 
-def _assemble_window(n, h, R, Tr, Sd, P,
-                     xc_ref, w_ref, top_ref, bot_ref, lw_ref, le_ref,
-                     xw, ww, ssw, sse, sems):
-    """DMA-assemble one halo-extended band window in VMEM.
+def _band_copies(n, h, R, Tr, Sd, P, f, i, slot,
+                 xc_ref, w_ref, top_ref, bot_ref, lw_ref, le_ref,
+                 xw2, ww2, ssw2, sse2, sems2, start):
+    """Create and start (or wait on) the DMA pieces of band (f, i) into
+    double-buffer slot ``slot``.
 
     Window row w holds face row ``i*Tr - R + w``; rows outside the h-deep
     real halo are tolerated garbage (it advances 1 row per recursion step
     and never reaches the center rows [R, R+Tr)).  All DMA row slices are
-    8-aligned in offset and size by construction.
+    8-aligned in offset and size by construction.  Start and wait
+    reconstruct identical descriptors under identical predicates.
     """
-    f = pl.program_id(0)
-    i = pl.program_id(1)
     nbands = n // Tr  # static
-    copies = []
+
+    def go(copies):
+        for c in copies:
+            (c.start if start else c.wait)()
 
     def dma(src, dst, k):
-        copies.append(pltpu.make_async_copy(src, dst, sems.at[k]))
+        return pltpu.make_async_copy(src, dst, sems2.at[slot, k])
 
     def x_and_w(m0, size, d0):
         m0 = pl.multiple_of(m0, 8)
-        dma(xc_ref.at[:, f, pl.ds(m0, size), :],
-            xw.at[:, pl.ds(d0, size), :], 0)
-        dma(w_ref.at[:, f, pl.ds(m0, size), :],
-            ww.at[:, pl.ds(d0, size), :], 1)
-        # lane-halo strips for the interior-face rows of the window
-        dma(lw_ref.at[:, f, pl.ds(m0, size), :],
-            ssw.at[:, pl.ds(d0, size), :], 2)
-        dma(le_ref.at[:, f, pl.ds(m0, size), :],
-            sse.at[:, pl.ds(d0, size), :], 3)
+        return [
+            dma(xc_ref.at[:, f, pl.ds(m0, size), :],
+                xw2.at[slot, :, pl.ds(d0, size), :], 0),
+            dma(w_ref.at[:, f, pl.ds(m0, size), :],
+                ww2.at[slot, :, pl.ds(d0, size), :], 1),
+            # lane-halo strips for the interior-face rows of the window
+            dma(lw_ref.at[:, f, pl.ds(m0, size), :],
+                ssw2.at[slot, :, pl.ds(d0, size), :], 2),
+            dma(le_ref.at[:, f, pl.ds(m0, size), :],
+                sse2.at[slot, :, pl.ds(d0, size), :], 3),
+        ]
 
     def top():
-        dma(top_ref.at[:, f], xw.at[:, 0:R, :], 4)
-        dma(w_ref.at[:, f, pl.ds(n, R), :], ww.at[:, 0:R, :], 5)
+        return [
+            dma(top_ref.at[:, f], xw2.at[slot, :, 0:R, :], 4),
+            dma(w_ref.at[:, f, pl.ds(n, R), :], ww2.at[slot, :, 0:R, :], 5),
+        ]
 
     def bot():
-        dma(bot_ref.at[:, f], xw.at[:, pl.ds(Sd - R, R), :], 6)
-        dma(w_ref.at[:, f, pl.ds(n + R, R), :], ww.at[:, pl.ds(Sd - R, R), :], 7)
-
-    def run():
-        for c in copies:
-            c.start()
-        for c in copies:
-            c.wait()
-        copies.clear()
+        return [
+            dma(bot_ref.at[:, f], xw2.at[slot, :, pl.ds(Sd - R, R), :], 6),
+            dma(w_ref.at[:, f, pl.ds(n + R, R), :],
+                ww2.at[slot, :, pl.ds(Sd - R, R), :], 7),
+        ]
 
     if nbands == 1:
-        x_and_w(0, n, R)
-        top()
-        bot()
-        run()
+        go(x_and_w(0, n, R) + top() + bot())
     else:
         # static-shape DMA per band position (pallas needs static sizes;
         # row offsets stay 8-aligned because Tr and R are)
         @pl.when(i == 0)
         def _():
-            x_and_w(0, Tr + R, R)
-            top()
-            run()
+            go(x_and_w(0, Tr + R, R) + top())
 
         @pl.when(i == nbands - 1)
         def _():
-            x_and_w(n - Tr - R, Tr + R, 0)
-            bot()
-            run()
+            go(x_and_w((nbands - 1) * Tr - R, Tr + R, 0) + bot())
 
         if nbands > 2:
             @pl.when((i > 0) & (i < nbands - 1))
             def _():
-                x_and_w(i * Tr - R, Tr + 2 * R, 0)
-                run()
+                go(x_and_w(i * Tr - R, Tr + 2 * R, 0))
+
+
+def _assemble_window(n, h, R, Tr, Sd, P,
+                     xc_ref, w_ref, top_ref, bot_ref, lw_ref, le_ref,
+                     xw2, ww2, ssw2, sse2, sems2):
+    """Double-buffered window assembly: prefetch the next band's DMA into
+    the other slot before waiting on this band's, so the HBM traffic of
+    band k+1 overlaps the recursion compute of band k.  Returns the slot
+    holding this band's window."""
+    f = pl.program_id(0)
+    i = pl.program_id(1)
+    nbands = n // Tr
+    step = f * nbands + i
+    slot = jax.lax.rem(step, 2)
+    geo = (n, h, R, Tr, Sd, P)
+    refs = (xc_ref, w_ref, top_ref, bot_ref, lw_ref, le_ref,
+            xw2, ww2, ssw2, sse2, sems2)
+
+    @pl.when(step == 0)
+    def _():
+        _band_copies(*geo, f, i, slot, *refs, start=True)
+
+    last = i == nbands - 1
+    nf = jax.lax.select(last, f + 1, f)
+    ni = jax.lax.select(last, 0, i + 1)
+
+    @pl.when(step + 1 < 12 * nbands)
+    def _():
+        _band_copies(*geo, nf, ni, jax.lax.rem(step + 1, 2), *refs,
+                     start=True)
+
+    _band_copies(*geo, f, i, slot, *refs, start=False)
 
     # masked sub-lane stores: lane halos for interior-face window rows.
     # For edge bands the non-interior rows got full-width strip data from
     # top()/bot(), and the ssw/sse scratch rows there are stale — restrict
     # the store to the interior-face row range.
+    if os.environ.get("DS_KB", "") == "nolanestore":  # dev-only bisection
+        return slot
     if nbands == 1:
-        xw[:, R : R + n, 0:h] = ssw[:, R : R + n, 0:h]
-        xw[:, R : R + n, h + n : h + n + h] = sse[:, R : R + n, 0:h]
+        xw2[slot, :, R : R + n, 0:h] = ssw2[slot, :, R : R + n, 0:h]
+        xw2[slot, :, R : R + n, h + n : h + n + h] = (
+            sse2[slot, :, R : R + n, 0:h]
+        )
     else:
         @pl.when(i == 0)
         def _():
-            xw[:, R:Sd, 0:h] = ssw[:, R:Sd, 0:h]
-            xw[:, R:Sd, h + n : h + n + h] = sse[:, R:Sd, 0:h]
+            xw2[slot, :, R:Sd, 0:h] = ssw2[slot, :, R:Sd, 0:h]
+            xw2[slot, :, R:Sd, h + n : h + n + h] = sse2[slot, :, R:Sd, 0:h]
 
         @pl.when(i == nbands - 1)
         def _():
-            xw[:, 0 : Sd - R, 0:h] = ssw[:, 0 : Sd - R, 0:h]
-            xw[:, 0 : Sd - R, h + n : h + n + h] = sse[:, 0 : Sd - R, 0:h]
+            xw2[slot, :, 0 : Sd - R, 0:h] = ssw2[slot, :, 0 : Sd - R, 0:h]
+            xw2[slot, :, 0 : Sd - R, h + n : h + n + h] = (
+                sse2[slot, :, 0 : Sd - R, 0:h]
+            )
 
         if nbands > 2:
             @pl.when((i > 0) & (i < nbands - 1))
             def _():
-                xw[:, :, 0:h] = ssw[:, :, 0:h]
-                xw[:, :, h + n : h + n + h] = sse[:, :, 0:h]
+                xw2[slot, :, :, 0:h] = ssw2[slot, :, :, 0:h]
+                xw2[slot, :, :, h + n : h + n + h] = sse2[slot, :, :, 0:h]
+    return slot
 
 
 def _term_stream(kind, K, Sr, P, w, x0):
@@ -274,14 +308,23 @@ def _stencil_kernel(kind, K, n, h, R, Tr, Sd, P, C, Cout, B, Fin, Fout,
     wk_ref: (K, Fin, Fout) scalar coefficients in SMEM.
     out_ref: (Cout, 1, Tr, P) — full padded width, no final slice.
     """
-    _assemble_window(n, h, R, Tr, Sd, P, xc_ref, w_ref, top_ref, bot_ref,
-                     lw_ref, le_ref, xw, ww, ssw, sse, sems)
-    x0 = xw[:]
-    w = ww[:]
+    slot = _assemble_window(n, h, R, Tr, Sd, P, xc_ref, w_ref, top_ref,
+                            bot_ref, lw_ref, le_ref, xw, ww, ssw, sse, sems)
+    x0 = xw[slot]
+    w = ww[slot]
+
+    kb_mode = os.environ.get("DS_KB", "")  # kernel-cost bisection (dev only)
+    if kb_mode == "norecur":
+        terms = [(k, x0) for k in range(K)]
+    else:
+        terms = enumerate(_term_stream(kind, K, Sd, P, w, x0))
 
     acc = [None] * Cout
-    for k, t in enumerate(_term_stream(kind, K, Sd, P, w, x0)):
+    for k, t in terms:
         ctr = t[:, R : R + Tr, :]  # (C, Tr, P)
+        if kb_mode == "nocontract":
+            acc = [ctr[co % C] for co in range(Cout)]
+            continue
         for b in range(B):
             for fo in range(Fout):
                 s = acc[b * Fout + fo]
@@ -302,10 +345,10 @@ def _grad_kernel(kind, K, n, h, R, Tr, Sd, P, C, Cout, B, Fin, Fout,
     non-interior lanes (halo/pad — garbage) are masked to zero in VMEM.
     out_ref: (K*Fin, Fout), shared across the (sequential) TPU grid.
     """
-    _assemble_window(n, h, R, Tr, Sd, P, xc_ref, w_ref, top_ref, bot_ref,
-                     lw_ref, le_ref, xw, ww, ssw, sse, sems)
-    x0 = xw[:]
-    w = ww[:]
+    slot = _assemble_window(n, h, R, Tr, Sd, P, xc_ref, w_ref, top_ref,
+                            bot_ref, lw_ref, le_ref, xw, ww, ssw, sse, sems)
+    x0 = xw[slot]
+    w = ww[slot]
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (Tr, P), 1)
@@ -392,11 +435,11 @@ def _run_stencil_kernel(st, kind, n_terms, xc, wext, strips, wk3, B,
         ),
         out_shape=jax.ShapeDtypeStruct((Cout, 12, n, P), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((C, Sd, P), jnp.float32),
-            pltpu.VMEM((9, Sd, P), jnp.float32),
-            pltpu.VMEM((C, Sd, 128), jnp.float32),
-            pltpu.VMEM((C, Sd, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((8,)),
+            pltpu.VMEM((2, C, Sd, P), jnp.float32),
+            pltpu.VMEM((2, 9, Sd, P), jnp.float32),
+            pltpu.VMEM((2, C, Sd, 128), jnp.float32),
+            pltpu.VMEM((2, C, Sd, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 8)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 2**20,
@@ -432,11 +475,11 @@ def _run_grad_kernel(st, kind, n_terms, xc, wext, strips, dy, B, Fin,
         ),
         out_shape=jax.ShapeDtypeStruct((K * Fin, Fout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((C, Sd, P), jnp.float32),
-            pltpu.VMEM((9, Sd, P), jnp.float32),
-            pltpu.VMEM((C, Sd, 128), jnp.float32),
-            pltpu.VMEM((C, Sd, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((8,)),
+            pltpu.VMEM((2, C, Sd, P), jnp.float32),
+            pltpu.VMEM((2, 9, Sd, P), jnp.float32),
+            pltpu.VMEM((2, C, Sd, 128), jnp.float32),
+            pltpu.VMEM((2, C, Sd, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 8)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 2**20,
