@@ -80,6 +80,8 @@ def cfp_structural_available(st: FaceStencil, kind, n_terms):
     """Whether this configuration fits the fused kernel / native padded
     layout STRUCTURALLY (platform-independent — the model assembler plans
     layouts with this so a model built on CPU applies unchanged on TPU)."""
+    if st is None:  # graph not stencil-representable / halo too deep
+        return False
     if kind not in ("cheby", "mono"):
         return False
     n_steps = n_terms - 1

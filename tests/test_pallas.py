@@ -103,3 +103,24 @@ def test_model_training_through_fused_path(rng, graph):
     model.compile(optimizer=1e-2, loss="sparse_categorical_crossentropy_from_logits")
     h = model.fit(x, y, batch_size=8, epochs=3, verbose=0)
     assert np.isfinite(h["loss"]).all()
+
+
+def test_fused_deep_halo_window_margin(rng):
+    """K=10 (quick_start order): halo depth 9 needs the R=16 window margin
+    path; nside=16 is the boundary case (nside == R)."""
+    g16 = build_sphere_graph(16, k=8, method="grid")
+    K = 10
+    st = g16.face_stencil(0.75, n_steps=K - 1)
+    assert fused_available(st, "cheby", K)
+    tables = {k: jnp.asarray(v) for k, v in stencil_tables(st).items()}
+    B, Fin, Fout = 2, 2, 3
+    x = jnp.asarray(rng.normal(size=(B, g16.n_pixels, Fin)), jnp.float32)
+    kern = jnp.asarray(rng.normal(size=(Fin * K, Fout)), jnp.float32)
+    y_ref = _ref_conv(g16, "cheby", x, kern, K, 0.75)
+    y = stencil_graph_conv(st, x, kern, K, "cheby", tables=tables)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-3)
+
+    # nside=8 < R=16: fused must refuse, the conv still works via fallback
+    g8 = build_sphere_graph(8, k=8, method="grid")
+    st8 = g8.face_stencil(0.75, n_steps=K - 1)
+    assert not fused_available(st8, "cheby", K)
