@@ -60,16 +60,23 @@ def _accepts_training(layer):
 class SequentialModel(nn.Module):
     """Sequential container passing ``training`` to layers that accept it.
 
+    ``layers`` maps STABLE names to modules (flax names dict-attribute
+    children ``layers_<key>``, so parameter/checkpoint trees do not depend
+    on which internal layout the assembler chose or how many layout
+    converters it inserted); ``order`` fixes the execution order.
+
     Each layer runs under a ``jax.named_scope`` so per-layer costs show up
     in ``jax.profiler`` traces (the reference has no tracing at all —
     SURVEY.md §5)."""
 
-    layers: Tuple[Any, ...]
+    layers: Any  # dict name -> module
+    order: Tuple[str, ...]
 
     @nn.compact
     def __call__(self, x, training=False):
-        for i, layer in enumerate(self.layers):
-            with jax.named_scope(f"{type(layer).__name__}_{i}"):
+        for key in self.order:
+            layer = self.layers[key]
+            with jax.named_scope(f"{type(layer).__name__}_{key}"):
                 if _accepts_training(layer):
                     x = layer(x, training=training)
                 else:
@@ -220,7 +227,19 @@ class HealpyGCNN:
             self.layer_names.append(_layer_display_name(self.layers_use[-1], counters))
 
         self._plan_internal_layout(internal_layout)
-        self.module = SequentialModel(layers=tuple(self._module_layers))
+        names = []
+        counts = {}
+        for k, layer in enumerate(self._module_layers):
+            if k in self._index_to_module:
+                nm = f"layer_{self._index_to_module[k]}"
+            else:  # layout converter: parameter-free, positional name ok
+                base = type(layer).__name__.lower()
+                counts[base] = counts.get(base, 0) + 1
+                nm = f"{base}_{counts[base] - 1}"
+            names.append(nm)
+        self.module = SequentialModel(
+            layers=dict(zip(names, self._module_layers)), order=tuple(names)
+        )
         self.variables = None
 
     def _plan_internal_layout(self, internal_layout):
@@ -346,6 +365,7 @@ class HealpyGCNN:
         # 2) emit, falling back to the face layout outside cface segments
         self._module_layers = []
         self._module_index = []
+        self._index_to_module = {}
         in_face = False
         cur_off = 0
         for i, layer in enumerate(self.layers_use):
@@ -374,6 +394,7 @@ class HealpyGCNN:
                     cur_off = off_out
                 self._module_layers.append(actual)
                 self._module_index.append(len(self._module_layers) - 1)
+                self._index_to_module[len(self._module_layers) - 1] = i
                 self.layers_use[i] = actual
                 if i == j - 1:  # segment exit
                     self._module_layers.append(CfaceToNest(off=cur_off))
@@ -392,8 +413,11 @@ class HealpyGCNN:
                     self._module_layers.append(FaceToNest())
                     in_face = False
                 actual = layer
+            # stable, plan-independent parameter naming: checkpoints must
+            # not depend on which internal layout the assembler chose
             self._module_layers.append(actual)
             self._module_index.append(len(self._module_layers) - 1)
+            self._index_to_module[len(self._module_layers) - 1] = i
             self.layers_use[i] = actual
         if in_face:
             self._module_layers.append(FaceToNest())
@@ -507,10 +531,9 @@ class HealpyGCNN:
         print_fn(format_summary("HealpyGCNN", rows, total))
 
     def param_key(self, index):
-        """The flax submodule key for the user layer at ``index`` (children
-        of the ``layers`` tuple are named ``layers_<module idx>``; layout
-        converters inserted by the assembler shift module indices)."""
-        return f"layers_{self._module_index[index]}"
+        """The flax submodule key for the user layer at ``index`` — stable
+        across internal-layout plans (dict-named children)."""
+        return f"layers_layer_{index}"
 
     def _layer_output_shapes(self, input_shape):
         """Map flax submodule key -> output shape via a shape-only trace."""

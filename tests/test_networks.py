@@ -169,3 +169,60 @@ def test_smoothing_layer(rng):
     np.testing.assert_allclose(y1, 1.0, atol=1e-5)
     # smoothing reduces variance
     assert y[0, :, 0].std() < x[0, :, 0].std()
+
+
+def test_internal_layout_equivalence_with_bn(rng):
+    """The cface internal layout (native padded conv chains) must match the
+    nest plan exactly — including train-mode BatchNorm statistics, which in
+    cface are computed over interior lanes only."""
+    n_pix = hp.nside2npix(NSIDE)
+
+    def layers():
+        return [
+            hp_nn.HealpyChebyshev(K=5, Fout=6, activation="relu", use_bn=True),
+            hp_nn.HealpyPool(p=1, pool_type="AVG"),
+            hp_nn.HealpyMonomial(K=3, Fout=4, activation="elu", use_bn=True),
+            hp_nn.HealpyPseudoConv(p=1, Fout=8),
+            hp_nn.Healpy_ResidualLayer(
+                "CHEBY", layer_kwargs={"K": 4}, use_bn=True,
+                activation="relu",
+            ),
+        ]
+
+    m_cface = ds.HealpyGCNN(
+        nside=NSIDE, indices=np.arange(n_pix), layers=layers()
+    )
+    m_nest = ds.HealpyGCNN(
+        nside=NSIDE, indices=np.arange(n_pix), layers=layers(),
+        internal_layout="nest",
+    )
+    from deepsphere_tpu.nn.layers import NestToCface
+
+    assert any(isinstance(l, NestToCface) for l in m_cface._module_layers)
+
+    x = jnp.asarray(rng.normal(size=(3, n_pix, 1)), jnp.float32)
+    v1 = m_cface.init(0, x)
+    v2 = m_nest.init(0, x)
+    # same param tree (layout-independent checkpoints)
+    import jax
+
+    jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: a.shape == b.shape,
+                               v1["params"], v2["params"])
+    )
+    v2 = {**v2, "params": v1["params"]}
+
+    y1, upd1 = m_cface.module.apply(
+        v1, x, training=True, mutable=["batch_stats"]
+    )
+    y2, upd2 = m_nest.module.apply(
+        v2, x, training=True, mutable=["batch_stats"]
+    )
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-5)
+    # identical batch_stats trees (stable naming) and values
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5
+        ),
+        upd1["batch_stats"], upd2["batch_stats"],
+    )
