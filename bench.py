@@ -130,6 +130,9 @@ def main():
     extra["face_flat_step_ms"] = round(dt_f * 1e3, 2)
 
     if os.environ.get("BENCH_GATHER_PATH", "1") == "1":
+        # free the stencil-path buffers first: the gather path's basis
+        # stack peaks at K x activation, and HBM pressure distorts it
+        del x5, st_tables
         idx_np, val_np = graph.ellpack(0.75)
         ell = jax.device_put({"idx": idx_np, "val": val_np})
 
