@@ -382,13 +382,15 @@ def _grad_kernel(kind, K, n, h, R, Tr, Sd, P, C, Cout, B, Fin, Fout,
         out_ref[...] = out_ref[...] + block
 
 
-def _strip_arrays(st, xc):
+def _strip_arrays(st, xc, faces=None, bands=None):
     """Build the four halo-strip DMA sources from the activation interior.
 
-    Returns top/bot (C, 12, R, P_l) row-halo pieces (strip rows positioned
+    Returns top/bot (C, F, R, P_l) row-halo pieces (strip rows positioned
     so a full R-row DMA drops the h real halo rows exactly against the
-    face edge, garbage elsewhere) and lw/le (C, 12, n, 128) lane-halo
-    strips (h used lanes).
+    face edge, garbage elsewhere) and lw/le (C, F, n, 128) lane-halo
+    strips (h used lanes).  ``faces``/``bands`` support the face-sharded
+    conv: build strips only for ``faces``, sourcing neighbor data from
+    the (all-gathered, full-sphere) edge ``bands``.
     """
     from .stencil import edge_strips
 
@@ -396,10 +398,13 @@ def _strip_arrays(st, xc):
     R, P_l = cfp_geometry(n, h)
     C = xc.shape[0]
     f32 = xc.dtype
-    west, east, south, north = edge_strips(n, h, xc, embedded=True)
+    west, east, south, north = edge_strips(
+        n, h, xc, embedded=True, faces=faces, bands=bands
+    )
+    F = west.shape[1]
 
     def zer(*s):
-        return jnp.zeros((C, 12) + s, f32)
+        return jnp.zeros((C, F) + s, f32)
 
     P0 = n + 2 * h
     wp = jnp.concatenate([west, zer(h, P_l - P0)], axis=3)
@@ -415,11 +420,13 @@ def _run_stencil_kernel(st, kind, n_terms, xc, wext, strips, wk3, B,
                         interpret):
     """pallas_call plumbing for the forward/dx kernel.
 
-    xc: (C, 12, n, P_l); wext: (9, 12, n+2R, P_l) wrapped-extended weight
-    planes; strips: (top, bot, lw, le); wk3: (K, Fin, Fout).
-    Returns (Cout, 12, n, P_l) f32.
+    xc: (C, F, n, P_l) (F = 12 faces, or a face shard); wext:
+    (9, F, n+2R, P_l) wrapped-extended weight planes; strips:
+    (top, bot, lw, le).  wk3: (K, Fin, Fout).
+    Returns (Cout, F, n, P_l) f32.
     """
     C = xc.shape[0]
+    F = xc.shape[1]
     K, Fin, Fout = wk3.shape
     Cout = B * Fout
     n, h, R, P, Tr, Sd = _band_geometry(st, C, Cout)
@@ -428,14 +435,14 @@ def _run_stencil_kernel(st, kind, n_terms, xc, wext, strips, wk3, B,
                      B, Fin, Fout)
     return pl.pallas_call(
         kernel,
-        grid=(12, n // Tr),
+        grid=(F, n // Tr),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pl.ANY)] * 6,
         out_specs=pl.BlockSpec(
             (Cout, 1, Tr, P), lambda f, i: (0, f, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((Cout, 12, n, P), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Cout, F, n, P), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, C, Sd, P), jnp.float32),
             pltpu.VMEM((2, 9, Sd, P), jnp.float32),
@@ -455,6 +462,7 @@ def _run_grad_kernel(st, kind, n_terms, xc, wext, strips, dy, B, Fin,
     """dW (K*Fin, Fout) = per-term scalar contractions of the basis of x
     with dy (both in the conv's native layout)."""
     C = xc.shape[0]
+    F = xc.shape[1]
     Cout = dy.shape[0]
     Fout = Cout // B
     K = n_terms
@@ -464,7 +472,7 @@ def _run_grad_kernel(st, kind, n_terms, xc, wext, strips, dy, B, Fin,
                      B, Fin, Fout)
     return pl.pallas_call(
         kernel,
-        grid=(12, n // Tr),
+        grid=(F, n // Tr),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6
         + [
             pl.BlockSpec(

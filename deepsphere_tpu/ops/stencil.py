@@ -178,21 +178,29 @@ def _edge_block(bands, n, h, f, xs, ys):
     return blk
 
 
-def edge_strips(n, h, x3, embedded=False):
+def edge_strips(n, h, x3, embedded=False, faces=None, bands=None):
     """The four halo strips of every face, as structured edge copies.
 
     x3: (C, 12, n, n) channels-first faces — or, with ``embedded=True``,
     (C, 12, n, P_l) in the conv's native padded layout (face col y at
     lane y + h).  Returns ``(west, east, south, north)`` with west/east
-    (C, 12, h, n+2h) spanning the full padded width (corners included)
-    and south/north (C, 12, n, h) covering interior rows — the same
+    (C, F, h, n+2h) spanning the full padded width (corners included)
+    and south/north (C, F, n, h) covering interior rows — the same
     coverage as the gather tables built in :mod:`..graph.stencil` (hmP
     strips), which they replace on the hot path.
 
     The four face-edge bands are sliced from the full map ONCE (four big
     strided reads); all per-face work then touches only those thin bands.
+
+    For the face-sharded conv, pass ``faces`` (the local face ids) and
+    ``bands`` (the all-gathered full-sphere edge bands, as returned by
+    :func:`extract_edge_bands`): strips are built for those faces only,
+    with neighbor data read from the gathered bands.
     """
-    bands = _extract_bands(x3, n, h, lane_off=h if embedded else 0)
+    if bands is None:
+        bands = _extract_bands(x3, n, h, lane_off=h if embedded else 0)
+    if faces is None:
+        faces = range(12)
 
     def row_strip(xs):
         return jnp.stack(
@@ -205,17 +213,24 @@ def edge_strips(n, h, x3, embedded=False):
                     ],
                     axis=2,
                 )
-                for f in range(12)
+                for f in faces
             ],
             axis=1,
         )
 
     def col_strip(ys):
         return jnp.stack(
-            [_edge_block(bands, n, h, f, 0, ys) for f in range(12)], axis=1
+            [_edge_block(bands, n, h, f, 0, ys) for f in faces], axis=1
         )
 
     return row_strip(-1), row_strip(1), col_strip(-1), col_strip(1)
+
+
+def extract_edge_bands(x3, n, h, embedded=False):
+    """Public band extraction (see :func:`_extract_bands`) — the
+    face-sharded conv all-gathers these (small: O(h·n) per face) to source
+    cross-device halo strips."""
+    return _extract_bands(x3, n, h, lane_off=h if embedded else 0)
 
 
 def stencil_tables(st: FaceStencil):

@@ -1,3 +1,4 @@
+from .cface_sharded import face_sharded_cfp_conv
 from .halo import ShardedEllpack, shard_ellpack, shard_ellpack_cached
 from .mesh import Mesh, NamedSharding, P, batch_sharding, make_mesh, replicated
 from .sharded_ops import ShardConfig, sharded_poly_conv
@@ -14,4 +15,5 @@ __all__ = [
     "ShardedEllpack",
     "shard_ellpack",
     "shard_ellpack_cached",
+    "face_sharded_cfp_conv",
 ]

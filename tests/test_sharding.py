@@ -133,3 +133,84 @@ def test_dp_train_step_runs():
     y = np.arange(8) % 2
     logs = trainer.train_on_batch(x, y)
     assert np.isfinite(logs["loss"])
+
+
+def test_face_sharded_cfp_conv_matches_unsharded(rng):
+    """The face-sharded fused conv (edge-band all_gather + local kernel)
+    matches the single-device conv exactly — forward and both gradients —
+    on a (data=2, face=4) mesh, corrections active (K=3 -> 2-step halo)."""
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    import deepsphere_tpu.config as cfg
+    from deepsphere_tpu.ops import pallas_stencil as ps
+    from deepsphere_tpu.ops.stencil import stencil_tables
+    from deepsphere_tpu.parallel.cface_sharded import face_sharded_cfp_conv
+
+    cfg.set_use_pallas("on")  # interpret mode on CPU
+    try:
+        nside, K, Bg, Fin, Fout = 16, 3, 4, 2, 3
+        g = build_sphere_graph(nside, k=8, method="grid")
+        st = g.face_stencil(0.75, n_steps=K - 1)
+        assert st is not None and st.corr_src.shape[0] > 0
+        tables = {k: jnp.asarray(v) for k, v in stencil_tables(st).items()}
+        h = K - 1
+        _, P_l = ps.cfp_geometry(nside, h)
+        C = Bg * Fin
+        xc = jnp.asarray(
+            rng.normal(size=(C, 12, nside, P_l)), jnp.float32
+        )
+        kern = jnp.asarray(rng.normal(size=(Fin * K, Fout)), jnp.float32)
+
+        y_ref = ps.fused_stencil_conv_cfp(
+            st, tables, xc, kern, K, "cheby", Bg, interpret=True
+        )
+
+        mesh = make_mesh(shape=(2, 4), axis_names=("data", "face"))
+        tspecs = {
+            k: P(None, "face", None, None) if k == "weights" else P()
+            for k in tables
+        }
+        B_loc = Bg // 2
+
+        @partial(
+            shard_map, mesh=mesh,
+            in_specs=(tspecs, P("data", "face", None, None), P()),
+            out_specs=P("data", "face", None, None),
+            check_vma=False,
+        )
+        def sharded(tables, xc_loc, kern):
+            return face_sharded_cfp_conv(
+                st, tables, xc_loc, kern, K, "cheby", B_loc,
+                axis_name="face", interpret=True,
+            )
+
+        y = sharded(tables, xc, kern)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), atol=1e-4
+        )
+
+        # gradients (interior-masked loss, as the layout contract demands)
+        def loss_ref(xc, kern):
+            y = ps.fused_stencil_conv_cfp(
+                st, tables, xc, kern, K, "cheby", Bg, interpret=True
+            )
+            return jnp.sum(jnp.sin(y[:, :, :, h : h + nside]))
+
+        def loss_sh(xc, kern):
+            y = sharded(tables, xc, kern)
+            return jnp.sum(jnp.sin(y[:, :, :, h : h + nside]))
+
+        gx_r, gk_r = jax.grad(loss_ref, (0, 1))(xc, kern)
+        gx, gk = jax.grad(loss_sh, (0, 1))(xc, kern)
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gk_r), rtol=2e-5, atol=1e-4
+        )
+        ii = np.s_[:, :, :, h : h + nside]
+        np.testing.assert_allclose(
+            np.asarray(gx[ii]), np.asarray(gx_r[ii]), atol=1e-4
+        )
+    finally:
+        cfg.set_use_pallas("auto")
