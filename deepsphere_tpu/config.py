@@ -44,6 +44,28 @@ def pallas_mode():
     return "interpret" if use_pallas == "on" else None
 
 
+# Kernel-cost bisection hooks (dev only).  The fused kernel consults
+# ``kernel_bisect()`` to optionally skip its recursion / contraction /
+# lane-store stages when measuring where time goes (tools/kbench.py).  The
+# DS_KB env var is honoured ONLY when this explicit opt-in flag is set —
+# a stray environment variable must never silently corrupt conv results.
+debug_kernel_bisect: bool = False
+
+
+def set_debug_kernel_bisect(on: bool):
+    global debug_kernel_bisect
+    debug_kernel_bisect = bool(on)
+
+
+def kernel_bisect() -> str:
+    """The active bisection mode ("" = full kernel, the production path)."""
+    if not debug_kernel_bisect:
+        return ""
+    import os
+
+    return os.environ.get("DS_KB", "")
+
+
 def set_matmul_precision(name: str):
     global matmul_precision
     if name not in _PRECISIONS:

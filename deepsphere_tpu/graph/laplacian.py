@@ -117,15 +117,16 @@ def lmax_bound(L):
     try:
         from scipy.sparse.linalg import eigsh
 
-        # tol=5e-3 is far below the 1.02 safety margin (same convention as
-        # pygsp's estimate_lmax) and orders of magnitude faster than
-        # ARPACK's default at large M.  The start vector must be
-        # deterministic: ARPACK's random v0 + loose tol would make lmax —
-        # and therefore every conv output — differ between two graph builds
+        # tol must be tight: a relative error eps in lmax perturbs every
+        # entry of the rescaled Laplacian by O(eps), which breaks the
+        # <1e-5 per-layer parity vs the reference (which runs ARPACK at
+        # machine precision, gnn_layers.py:66).  The start vector must be
+        # deterministic: ARPACK's random v0 would make lmax — and
+        # therefore every conv output — differ between two graph builds
         # of the same sphere.
         v0 = np.full(L.shape[0], 1.0 / np.sqrt(L.shape[0]))
         lmax = float(
-            eigsh(L, k=1, which="LM", return_eigenvectors=False, tol=5e-3, v0=v0)[0]
+            eigsh(L, k=1, which="LM", return_eigenvectors=False, tol=1e-9, v0=v0)[0]
         )
     except Exception:  # pragma: no cover - tiny graphs / ARPACK breakdown
         x = np.random.RandomState(0).normal(size=L.shape[0])
@@ -348,7 +349,8 @@ def build_sphere_graph(
         kw = "auto" if kernel_width is None else f"{kernel_width:.8g}"
         cache_path = os.path.join(
             cache_dir,
-            f"sphere_graph-nside{nside}-{ih}-k{k}-{lap_type}-{kw}-{method}.npz",
+            # v2: lmax now converged to machine precision (parity target)
+            f"sphere_graph-v2-nside{nside}-{ih}-k{k}-{lap_type}-{kw}-{method}.npz",
         )
         if os.path.exists(cache_path):
             z = np.load(cache_path)

@@ -271,13 +271,20 @@ class HealpyGCNN:
         )
         from ..ops.pallas_stencil import cfp_structural_available
 
+        def shardable(layer):
+            """A shard_cfg is cface-compatible when its face axis divides
+            the 12 HEALPix faces (the conv then runs the face-sharded fused
+            kernel, ``parallel.cface_sharded.cface_model_conv``)."""
+            cfg = layer.shard_cfg
+            return cfg is None or 12 % cfg.n_pixel_shards == 0
+
         def cface_info(layer):
             """("cf", h) for a cface-capable conv/residual, ("sif",) for a
             pass-through geometry layer, else None."""
             if internal_layout == "nest":
                 return None
             if isinstance(layer, _GraphPolyConv):
-                if layer.shard_cfg is not None or layer.conv_method not in (
+                if not shardable(layer) or layer.conv_method not in (
                     "auto", "stencil",
                 ):
                     return None
@@ -294,7 +301,7 @@ class HealpyGCNN:
                 return ("cf", n_terms - 1)
             if isinstance(layer, ResidualLayer):
                 scales = {"CHEBY": 0.75, "MONO": 1.0}
-                if layer.shard_cfg is not None or layer.layer_type not in scales:
+                if not shardable(layer) or layer.layer_type not in scales:
                     return None
                 K = dict(layer.layer_kwargs or {}).get("K", None)
                 if K is None or K < 2:

@@ -93,7 +93,7 @@ def neighbors_nest(nside):
     return out
 
 
-def grid_laplacian(nside, kernel_width=None, lanczos_iters=48):
+def grid_laplacian(nside, kernel_width=None, lanczos_iters=512):
     """One-pass grid-graph build.
 
     :return: dict with ``nb`` (npix, 8) i64, ``w`` (npix, 8) f64 Gaussian

@@ -204,8 +204,9 @@ void ds_neighbors_nest(i64 nside, i64* out) {
 // Callers apply the reference rescale (utils.py:40-46) per scale as
 //   val_s = (2 scale / lmax) * val;  val_s[:, 8] -= 1.
 // kernel_width <= 0 selects the mean neighbor distance.  lmax is estimated
-// with `lanczos_iters` Lanczos steps (no reorthogonalization — ample for an
-// extreme eigenvalue under the 1.02 safety margin) and multiplied by 1.02.
+// with up to `lanczos_iters` double-precision Lanczos steps (Ritz-residual
+// stop at 1e-10 relative — the <1e-5 parity target needs lmax at machine
+// precision) and multiplied by 1.02.
 void ds_grid_laplacian(i64 nside, double kernel_width,
                        int lanczos_iters,
                        i64* nb, double* w, i32* ell_idx, double* ell_val,
@@ -252,104 +253,135 @@ void ds_grid_laplacian(i64 nside, double kernel_width,
     for (i64 p = 0; p < npix; ++p)
         dinv[p] = deg[p] > 0 ? 1.0 / std::sqrt(deg[p]) : 0.0;
 
-    // unscaled ELLPACK first (it doubles as the Lanczos operator; float
-    // offdiagonals halve the matvec's memory traffic)
-    std::vector<float> offv(8 * npix);
-    std::vector<i32> offc(8 * npix);
+    // unscaled-Laplacian ELLPACK, direction-aligned slots (f64; it doubles
+    // as the Lanczos operator below)
     for (i64 p = 0; p < npix; ++p) {
         double dp = dinv[p];
         for (int d = 0; d < 8; ++d) {
             i64 q = nb[8 * p + d];
-            offc[8 * p + d] = (i32)(q >= 0 ? q : p);
-            offv[8 * p + d] = q >= 0 ? (float)(-w[8 * p + d] * dp * dinv[q]) : 0.0f;
-        }
-    }
-
-    auto matvec = [&](const float* x, float* y) {
-        for (i64 p = 0; p < npix; ++p) {
-            float acc = x[p];  // unit diagonal
-            const i32* cp = offc.data() + 8 * p;
-            const float* vp = offv.data() + 8 * p;
-            for (int d = 0; d < 8; ++d) acc += vp[d] * x[cp[d]];
-            y[p] = acc;
-        }
-    };
-
-    // plain Lanczos: tridiagonal (alpha, beta), largest Ritz value
-    int m = lanczos_iters;
-    std::vector<float> v_prev(npix, 0.0f), v_cur(npix), v_next(npix);
-    std::vector<double> alpha(m), beta(m, 0.0);
-    // deterministic start vector
-    double nrm0 = 1.0 / std::sqrt((double)npix);
-    for (i64 p = 0; p < npix; ++p) v_cur[p] = (float)(nrm0 * ((p % 7) - 3.0 + 0.5));
-    double nn = 0.0;
-    for (i64 p = 0; p < npix; ++p) nn += (double)v_cur[p] * v_cur[p];
-    nn = 1.0 / std::sqrt(nn);
-    for (i64 p = 0; p < npix; ++p) v_cur[p] = (float)(v_cur[p] * nn);
-
-    int steps = 0;
-    for (int j = 0; j < m; ++j) {
-        matvec(v_cur.data(), v_next.data());
-        double a = 0.0;
-        for (i64 p = 0; p < npix; ++p) a += (double)v_cur[p] * v_next[p];
-        alpha[j] = a;
-        float af = (float)a;
-        float bf = j > 0 ? (float)beta[j - 1] : 0.0f;
-        for (i64 p = 0; p < npix; ++p)
-            v_next[p] -= af * v_cur[p] + bf * v_prev[p];
-        double b = 0.0;
-        for (i64 p = 0; p < npix; ++p) b += (double)v_next[p] * v_next[p];
-        b = std::sqrt(b);
-        steps = j + 1;
-        if (b < 1e-7) break;
-        beta[j] = b;
-        float binv = (float)(1.0 / b);
-        for (i64 p = 0; p < npix; ++p) {
-            v_prev[p] = v_cur[p];
-            v_cur[p] = v_next[p] * binv;
-        }
-    }
-    // largest eigenvalue of the tridiagonal via bisection-free QL-lite:
-    // simple symmetric tridiagonal eigenvalue by iterating the power method
-    // on the small (steps x steps) dense matrix.
-    int s = steps;
-    std::vector<double> T(s * s, 0.0), tv(s, 1.0 / std::sqrt((double)s)), tw(s);
-    for (int j = 0; j < s; ++j) {
-        T[j * s + j] = alpha[j];
-        if (j + 1 < s) {
-            T[j * s + j + 1] = beta[j];
-            T[(j + 1) * s + j] = beta[j];
-        }
-    }
-    double lmax = 0.0;
-    for (int it = 0; it < 500; ++it) {
-        for (int r = 0; r < s; ++r) {
-            double acc = 0.0;
-            for (int c = 0; c < s; ++c) acc += T[r * s + c] * tv[c];
-            tw[r] = acc;
-        }
-        double nrm = 0.0;
-        for (int r = 0; r < s; ++r) nrm += tw[r] * tw[r];
-        nrm = std::sqrt(nrm);
-        if (nrm == 0.0) break;
-        lmax = nrm;
-        for (int r = 0; r < s; ++r) tv[r] = tw[r] / nrm;
-    }
-    lmax *= 1.02;  // reference safety margin (gnn_layers.py:66)
-    params[1] = lmax;
-
-    // unscaled-Laplacian ELLPACK, direction-aligned slots (f64 values from
-    // the exact formula; offv was the float Lanczos operator)
-    for (i64 p = 0; p < npix; ++p) {
-        double dp = dinv[p];
-        for (int d = 0; d < 8; ++d) {
-            i64 q = nb[8 * p + d];
-            ell_idx[9 * p + d] = offc[8 * p + d];
+            ell_idx[9 * p + d] = (i32)(q >= 0 ? q : p);
             ell_val[9 * p + d] = q >= 0 ? -w[8 * p + d] * dp * dinv[q] : 0.0;
         }
         ell_idx[9 * p + 8] = (i32)p;
         ell_val[9 * p + 8] = 1.0;
     }
+
+    auto matvec = [&](const double* x, double* y) {
+        for (i64 p = 0; p < npix; ++p) {
+            double acc = x[p];  // unit diagonal
+            const i32* cp = ell_idx + 9 * p;
+            const double* vp = ell_val + 9 * p;
+            for (int d = 0; d < 8; ++d) acc += vp[d] * x[cp[d]];
+            y[p] = acc;
+        }
+    };
+
+    // Plain double-precision Lanczos with a Ritz-residual stopping rule.
+    // lmax must land at ~1e-9 relative: a relative error eps in lmax
+    // perturbs every rescaled-Laplacian entry by O(eps), which would break
+    // the <1e-5 per-layer parity vs the reference (ARPACK at machine
+    // precision, gnn_layers.py:66).
+    int m = lanczos_iters;
+    std::vector<double> v_prev(npix, 0.0), v_cur(npix), v_next(npix);
+    std::vector<double> alpha, beta;
+    // deterministic start vector
+    double nrm0 = 1.0 / std::sqrt((double)npix);
+    for (i64 p = 0; p < npix; ++p) v_cur[p] = nrm0 * ((p % 7) - 3.0 + 0.5);
+    double nn = 0.0;
+    for (i64 p = 0; p < npix; ++p) nn += v_cur[p] * v_cur[p];
+    nn = 1.0 / std::sqrt(nn);
+    for (i64 p = 0; p < npix; ++p) v_cur[p] *= nn;
+
+    // Top Ritz value of the s x s tridiagonal via Sturm-sequence bisection
+    // (robust for the clustered top spectrum of the sphere Laplacian, where
+    // power iteration stalls); *slast = last component of its eigenvector
+    // (inverse iteration), so |beta_s * slast| bounds the Ritz residual.
+    auto top_ritz = [&](int s, double* slast) {
+        // eigenvalue count below x by the Sturm recurrence
+        auto count_below = [&](double x) {
+            int cnt = 0;
+            double d = alpha[0] - x;
+            if (d < 0) ++cnt;
+            for (int r = 1; r < s; ++r) {
+                double b2 = beta[r - 1] * beta[r - 1];
+                double dd = (d == 0.0) ? 1e-300 : d;
+                d = (alpha[r] - x) - b2 / dd;
+                if (d < 0) ++cnt;
+            }
+            return cnt;
+        };
+        // Gershgorin upper bound
+        double hi = alpha[0] + (s > 1 ? std::abs(beta[0]) : 0.0);
+        double lo = alpha[0] - (s > 1 ? std::abs(beta[0]) : 0.0);
+        for (int r = 1; r < s; ++r) {
+            double rad = std::abs(beta[r - 1]) +
+                         (r + 1 < s ? std::abs(beta[r]) : 0.0);
+            hi = std::max(hi, alpha[r] + rad);
+            lo = std::min(lo, alpha[r] - rad);
+        }
+        for (int it = 0; it < 200 && hi - lo > 1e-14 * std::max(1.0, std::abs(hi)); ++it) {
+            double mid = 0.5 * (lo + hi);
+            if (count_below(mid) >= s)  // all eigenvalues below mid
+                hi = mid;
+            else
+                lo = mid;
+        }
+        double lam = 0.5 * (lo + hi);
+        // inverse iteration for the eigenvector's last component: solve
+        // (T - (lam + eps) I) y = v with the Thomas algorithm, twice
+        std::vector<double> y(s, 1.0 / std::sqrt((double)s));
+        double shift = lam * (1.0 + 1e-12) + 1e-300;
+        for (int pass = 0; pass < 2; ++pass) {
+            std::vector<double> c(s), dv(s);
+            double dd = alpha[0] - shift;
+            if (std::abs(dd) < 1e-14) dd = 1e-14;
+            c[0] = (s > 1 ? beta[0] : 0.0) / dd;
+            dv[0] = y[0] / dd;
+            for (int r = 1; r < s; ++r) {
+                double m = (alpha[r] - shift) - beta[r - 1] * c[r - 1];
+                if (std::abs(m) < 1e-14) m = 1e-14;
+                c[r] = (r + 1 < s ? beta[r] : 0.0) / m;
+                dv[r] = (y[r] - beta[r - 1] * dv[r - 1]) / m;
+            }
+            y[s - 1] = dv[s - 1];
+            for (int r = s - 2; r >= 0; --r) y[r] = dv[r] - c[r] * y[r + 1];
+            double nrm = 0.0;
+            for (int r = 0; r < s; ++r) nrm += y[r] * y[r];
+            nrm = 1.0 / std::sqrt(nrm);
+            for (int r = 0; r < s; ++r) y[r] *= nrm;
+        }
+        *slast = y[s - 1];
+        return lam;
+    };
+
+    double lmax = 0.0;
+    for (int j = 0; j < m; ++j) {
+        matvec(v_cur.data(), v_next.data());
+        double a = 0.0;
+        for (i64 p = 0; p < npix; ++p) a += v_cur[p] * v_next[p];
+        alpha.push_back(a);
+        double bprev = j > 0 ? beta[j - 1] : 0.0;
+        for (i64 p = 0; p < npix; ++p)
+            v_next[p] -= a * v_cur[p] + bprev * v_prev[p];
+        double b = 0.0;
+        for (i64 p = 0; p < npix; ++p) b += v_next[p] * v_next[p];
+        b = std::sqrt(b);
+        int s = j + 1;
+        if (b < 1e-12 || s % 8 == 0 || j == m - 1) {
+            double slast;
+            double lam = top_ritz(s, &slast);
+            lmax = lam;
+            if (b < 1e-12 || b * std::abs(slast) < 1e-10 * lam) break;
+        }
+        beta.push_back(b);
+        double binv = 1.0 / b;
+        for (i64 p = 0; p < npix; ++p) {
+            v_prev[p] = v_cur[p];
+            v_cur[p] = v_next[p] * binv;
+        }
+    }
+    lmax *= 1.02;  // reference safety margin (gnn_layers.py:66)
+    params[1] = lmax;
 }
 
 // Stencil weight planes of a rescaled grid Laplacian, in padded-activation

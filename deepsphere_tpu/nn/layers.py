@@ -226,6 +226,8 @@ class _GraphPolyConv(nn.Module):
     conv_method: str = "auto"  # "auto" | "stencil" | "ellpack"
     layout: str = "nest"  # pixel-axis ordering of inputs/outputs; "face"
     # requires the stencil path and skips all boundary permutations
+    ref_quirks: bool = False  # Bernstein only: reproduce the reference's
+    # stale-buffer i=K term bit-exactly (see spmv.bernstein_basis_ref)
 
     # subclass configuration (not dataclass fields)
     _scale: ClassVar[float] = 1.0
@@ -235,6 +237,17 @@ class _GraphPolyConv(nn.Module):
 
     def _default_std(self, Fin, Fout):
         raise NotImplementedError
+
+    @property
+    def basis_kind(self):
+        if self.ref_quirks and self._basis_kind == "bern":
+            return "bern_ref"
+        return self._basis_kind
+
+    def _basis_fn(self):
+        if self.basis_kind == "bern_ref":
+            return spmv.bernstein_basis_ref
+        return type(self)._basis
 
     @nn.compact
     def __call__(self, x, training=False):
@@ -270,7 +283,7 @@ class _GraphPolyConv(nn.Module):
             )
             tables = self.variable("graph_tables", "sharded", op.tables).value
             y = sharded_poly_conv(
-                self._basis_kind, op, x, kernel, n_terms, self.shard_cfg,
+                self.basis_kind, op, x, kernel, n_terms, self.shard_cfg,
                 tables=tables,
             )
         else:
@@ -301,7 +314,7 @@ class _GraphPolyConv(nn.Module):
                     "graph_tables", "stencil", lambda: stencil_tables(st)
                 ).value
                 y = stencil_graph_conv(
-                    st, x, kernel, n_terms, self._basis_kind, tables=tables,
+                    st, x, kernel, n_terms, self.basis_kind, tables=tables,
                     layout=self.layout,
                 )
             else:
@@ -312,7 +325,8 @@ class _GraphPolyConv(nn.Module):
                 ).value
                 idx = tables["idx"]
                 val = tables["val"].astype(x.dtype)
-                basis = lambda x2d, nt: type(self)._basis(idx, val, x2d, nt)
+                basis_impl = self._basis_fn()
+                basis = lambda x2d, nt: basis_impl(idx, val, x2d, nt)
                 y = spmv.graph_conv(basis, x, kernel, n_terms)
 
         if self.use_bn:
@@ -347,9 +361,20 @@ class _GraphPolyConv(nn.Module):
         tables = self.variable(
             "graph_tables", "stencil", lambda: stencil_tables(st)
         ).value
-        y = stencil_graph_conv_cface(
-            st, x, kernel, n_terms, self._basis_kind, tables=tables
-        )
+        if self.shard_cfg is not None:
+            # faces on the mesh: the fused kernel runs per face shard with
+            # one edge-band all_gather as the only activation communication
+            from ..parallel.cface_sharded import cface_model_conv
+
+            tables_dev = {k: jnp.asarray(v) for k, v in tables.items()}
+            y = cface_model_conv(
+                st, tables_dev, x, kernel, n_terms, self._basis_kind,
+                self.shard_cfg,
+            )
+        else:
+            y = stencil_graph_conv_cface(
+                st, x, kernel, n_terms, self._basis_kind, tables=tables
+            )
         if self.use_bn:
             y = _CfaceBatchNorm(
                 off=st.n_steps,
@@ -451,6 +476,16 @@ class ResidualLayer(nn.Module):
 
         bn_kwargs = dict(self.bn_kwargs or {})
         bn_kwargs.pop("axis", None)  # (B, M, F) -> always normalize features
+        # the reference instantiates plain Keras normalization layers here
+        # (gnn_layers.py:375-382), whose DEFAULTS differ from flax:
+        # epsilon=1e-3 (both kinds), momentum=0.99 + affine (batch norm).
+        # Apply those defaults so outputs match the TF2 reference to <1e-5;
+        # explicit bn_kwargs still override.
+        bn_kwargs.setdefault("epsilon", 1e-3)
+        if self.norm_type == "batch_norm":
+            bn_kwargs.setdefault("momentum", 0.99)
+            bn_kwargs.setdefault("use_bias", True)
+            bn_kwargs.setdefault("use_scale", True)
 
         def norm(name):
             if self.layout == "cface":

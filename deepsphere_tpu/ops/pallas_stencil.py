@@ -126,7 +126,14 @@ def _pick_band(n, R, P, C, cout):
         )
         if est <= budget:
             return Tr
-    return max(min(n, 8), R)
+    # fallback under extreme VMEM pressure / odd R: the smallest divisor of
+    # n that is 8-aligned and >= R (n itself always qualifies — the
+    # structural gate requires n % 8 == 0 and n >= R), so the grid always
+    # covers all n rows.
+    for Tr in range(8, n + 1, 8):
+        if n % Tr == 0 and Tr >= R:
+            return Tr
+    return n
 
 
 def _band_geometry(st, C, cout):
@@ -240,7 +247,7 @@ def _assemble_window(n, h, R, Tr, Sd, P,
     # For edge bands the non-interior rows got full-width strip data from
     # top()/bot(), and the ssw/sse scratch rows there are stale — restrict
     # the store to the interior-face row range.
-    if os.environ.get("DS_KB", "") == "nolanestore":  # dev-only bisection
+    if config.kernel_bisect() == "nolanestore":  # dev-only bisection
         return slot
     if nbands == 1:
         xw2[slot, :, R : R + n, 0:h] = ssw2[slot, :, R : R + n, 0:h]
@@ -315,7 +322,7 @@ def _stencil_kernel(kind, K, n, h, R, Tr, Sd, P, C, Cout, B, Fin, Fout,
     x0 = xw[slot]
     w = ww[slot]
 
-    kb_mode = os.environ.get("DS_KB", "")  # kernel-cost bisection (dev only)
+    kb_mode = config.kernel_bisect()  # kernel-cost bisection (dev only)
     if kb_mode == "norecur":
         terms = [(k, x0) for k in range(K)]
     else:

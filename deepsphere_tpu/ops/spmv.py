@@ -27,6 +27,7 @@ __all__ = [
     "chebyshev_basis",
     "monomial_basis",
     "bernstein_basis",
+    "bernstein_basis_ref",
     "graph_conv",
 ]
 
@@ -100,6 +101,29 @@ def bernstein_basis(idx, val, x, n_terms):
             y = 2.0 * y - ellpack_spmv(idx, val, y)
         stack.append(theta * y)
     return jnp.stack(stack, axis=0)
+
+
+def bernstein_basis_ref(idx, val, x, n_terms):
+    """Bernstein basis with BIT-EXACT reference-quirk parity.
+
+    The reference's i = K loop iteration never recomputes ``x3``
+    (``gnn_layers.py:542-554``): with the k-loop skipped, ``x3 = theta * x3``
+    rebinds the PREVIOUS term (theta_{K-1} applied included), so the last
+    basis term is ``stack[K-1] / 2^K`` instead of the correct
+    ``L^K x / 2^K``.  A reference-trained Bernstein checkpoint only
+    reproduces under this quirk — enable it via ``BernsteinConv(
+    ref_quirks=True)``.  K = 0 raises, as the reference does (NameError on
+    the never-assigned ``x3``).
+    """
+    K = n_terms - 1
+    if K < 1:
+        raise ValueError(
+            "ref_quirks Bernstein needs K >= 1 (the reference crashes at "
+            "K=0: gnn_layers.py:542-554 never assigns its output buffer)"
+        )
+    correct = bernstein_basis(idx, val, x, n_terms)
+    last = correct[K - 1] / (2.0**K)
+    return jnp.concatenate([correct[:K], last[None]], axis=0)
 
 
 def graph_conv(basis, x, kernel, n_terms):

@@ -36,8 +36,12 @@ __all__ = [
     "stencil_tables",
     "pad_faces",
     "edge_strips",
+    "extract_edge_bands",
     "stencil_matvec",
     "stencil_graph_conv",
+    "stencil_graph_conv_cface",
+    "cface_embed",
+    "cface_extract",
     "stencil_basis_stack",
 ]
 
@@ -74,7 +78,7 @@ def _extract_bands(x3, n, h, lane_off=0):
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
-        C = x3.shape[0]
+        C, F = x3.shape[0], x3.shape[1]
 
         def kern(x_ref, fr_ref, lr_ref, fc_ref, lc_ref, sem):
             copies = [
@@ -98,10 +102,10 @@ def _extract_bands(x3, n, h, lane_off=0):
                 pl.BlockSpec(memory_space=pl.ANY) for _ in range(4)
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((C, 12, rb, W), x3.dtype),
-                jax.ShapeDtypeStruct((C, 12, rb, W), x3.dtype),
-                jax.ShapeDtypeStruct((C, 12, n, 128), x3.dtype),
-                jax.ShapeDtypeStruct((C, 12, n, 128), x3.dtype),
+                jax.ShapeDtypeStruct((C, F, rb, W), x3.dtype),
+                jax.ShapeDtypeStruct((C, F, rb, W), x3.dtype),
+                jax.ShapeDtypeStruct((C, F, n, 128), x3.dtype),
+                jax.ShapeDtypeStruct((C, F, n, 128), x3.dtype),
             ),
             scratch_shapes=[pltpu.SemaphoreType.DMA((4,))],
         )(x3)
@@ -327,16 +331,26 @@ def _term_stream(kind, matvec, x0, n_terms):
         for _ in range(1, n_terms):
             t = matvec(t)
             yield t
-    elif kind == "bern":
-        # comb(K, i)/2^K * (2I - L)^(K-i) L^i x (gnn_layers.py:542-554)
+    elif kind in ("bern", "bern_ref"):
+        # comb(K, i)/2^K * (2I - L)^(K-i) L^i x (gnn_layers.py:542-554).
+        # "bern_ref" reproduces the reference's stale-buffer quirk at i = K
+        # (see spmv.bernstein_basis_ref): the last term re-emits the
+        # previous one divided by 2^K.
         K = n_terms - 1
+        if kind == "bern_ref" and K < 1:
+            raise ValueError("ref_quirks Bernstein needs K >= 1")
         power = x0
+        prev = None
         for i in range(K + 1):
             theta = float(comb(K, i)) / (2.0**K)
+            if i == K and kind == "bern_ref":
+                yield prev / (2.0**K)
+                return
             y = power
             for _ in range(K - i):
                 y = 2.0 * y - matvec(y)
-            yield theta * y
+            prev = theta * y
+            yield prev
             if i < K:
                 power = matvec(power)
     else:  # pragma: no cover

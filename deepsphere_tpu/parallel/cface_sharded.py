@@ -36,7 +36,69 @@ from ..graph.stencil import FaceStencil
 from ..ops import pallas_stencil as ps
 from ..ops.stencil import edge_strips, extract_edge_bands
 
-__all__ = ["face_sharded_cfp_conv", "corner_box_depth"]
+__all__ = ["face_sharded_cfp_conv", "cface_model_conv", "corner_box_depth"]
+
+
+def cface_model_conv(st, tables, x5, kernel, n_terms, kind, cfg):
+    """Model-level entry of the face-sharded fused conv on GLOBAL arrays.
+
+    This is what the model assembler wires in when a conv runs in the
+    cface layout under a :class:`~.sharded_ops.ShardConfig`: the 5D
+    activation (B, Fin, 12, n, P_l) has batch on the ``data`` mesh axis
+    and faces on the ``pixel`` mesh axis; the conv itself runs inside
+    ``shard_map`` via :func:`face_sharded_cfp_conv` (fused Pallas kernel
+    per shard; the only communication is the edge-band / corner-box
+    all_gather).  Everything around it (BN, pools, pseudo-convs) stays in
+    global-array land where the XLA SPMD partitioner places the
+    collectives.
+
+    :param x5: (B, Fin, 12, n, P_l) global cface activations
+    :return: (B, Fout, 12, n, P_l)
+    """
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .. import config
+
+    B, Fin = int(x5.shape[0]), int(x5.shape[1])
+    n, P_l = int(x5.shape[3]), int(x5.shape[4])
+    da, fa = cfg.data_axis, cfg.pixel_axis
+    d_sz = cfg.mesh.shape[da]
+    f_sz = cfg.mesh.shape[fa]
+    if 12 % f_sz:
+        raise ValueError(
+            f"face-sharded conv needs a face axis dividing 12, got {f_sz}"
+        )
+    if B % d_sz:
+        raise ValueError(
+            f"batch {B} not divisible by the data axis ({d_sz} shards)"
+        )
+    B_loc = B // d_sz
+    Fout = kernel.shape[-1]
+    # interpret mode everywhere except a real TPU compile: the sharded
+    # path has no XLA fallback, and the multichip dryrun runs on virtual
+    # CPU devices
+    interpret = config.pallas_mode() != "compile"
+    tspecs = {
+        k: P(None, fa, None, None) if k == "weights" else P() for k in tables
+    }
+
+    @partial(
+        shard_map, mesh=cfg.mesh,
+        in_specs=(tspecs, P(da, fa, None, None), P()),
+        out_specs=P(da, fa, None, None), check_vma=False,
+    )
+    def conv(tbl, xc, kern):
+        return face_sharded_cfp_conv(
+            st, tbl, xc, kern, n_terms, kind, B_loc, axis_name=fa,
+            interpret=interpret,
+        )
+
+    xc = x5.reshape(B * Fin, 12, n, P_l)
+    y = conv(tables, xc, kernel)
+    return y.reshape(B, Fout, 12, n, P_l).astype(x5.dtype)
 
 
 def corner_box_depth(st):

@@ -135,6 +135,92 @@ def test_dp_train_step_runs():
     assert np.isfinite(logs["loss"])
 
 
+def test_model_cface_sharded_matches_single_device(rng):
+    """A full model assembled with a face-compatible ShardConfig routes its
+    convs through the face-sharded FUSED conv (cface plan) and matches the
+    unsharded model exactly: forward, train-mode BN stats, and parameter
+    gradients."""
+    import deepsphere_tpu as ds
+    import deepsphere_tpu.config as cfg_mod
+    from deepsphere_tpu.nn import healpy_layers as hp_nn
+
+    cfg_mod.set_use_pallas("on")  # interpret mode on CPU
+    try:
+        nside, B = 8, 2
+        npix = ds.sphere.healpix.nside2npix(nside)
+
+        def make_layers():
+            return [
+                hp_nn.HealpyChebyshev(K=3, Fout=3, activation="relu",
+                                      use_bn=True),
+                hp_nn.HealpyPool(p=1),
+                hp_nn.Flatten(),
+                hp_nn.Dense(2),
+            ]
+
+        mesh = make_mesh(shape=(2, 2), axis_names=("data", "pixel"),
+                         devices=jax.devices()[:4])
+        cfg = ShardConfig(mesh=mesh)
+        m_plain = ds.HealpyGCNN(nside, np.arange(npix), make_layers())
+        m_shard = ds.HealpyGCNN(nside, np.arange(npix), make_layers(),
+                                shard_cfg=cfg)
+
+        # the plan must actually pick the fused cface path for the sharded
+        # model (the whole point: no gather-path fallback)
+        assert m_shard.layers_use[0].layout == "cface"
+        assert m_shard.layers_use[0].shard_cfg is cfg
+
+        x = jnp.asarray(rng.normal(size=(B, npix, 1)), jnp.float32)
+        v_plain = m_plain.init(0, x)
+        v_shard = m_shard.init(0, x)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            v_plain["params"], v_shard["params"],
+        )
+
+        y_plain = np.asarray(m_plain.apply(v_plain, x))
+        y_shard = np.asarray(m_shard.apply(v_shard, x))
+        np.testing.assert_allclose(y_shard, y_plain, atol=1e-4)
+
+        # train mode: outputs + updated batch stats
+        yp, up_p = jax.jit(
+            lambda v, xx: m_plain.module.apply(v, xx, training=True,
+                                               mutable=["batch_stats"])
+        )(v_plain, x)
+        ys, up_s = jax.jit(
+            lambda v, xx: m_shard.module.apply(v, xx, training=True,
+                                               mutable=["batch_stats"])
+        )(v_shard, x)
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(yp), atol=1e-4)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            ),
+            up_p["batch_stats"], up_s["batch_stats"],
+        )
+
+        # parameter gradients through the sharded fused conv
+        def loss(model, variables, params):
+            out = model.module.apply({**variables, "params": params}, x,
+                                     training=False)
+            return jnp.sum(jnp.sin(out))
+
+        g_plain = jax.jit(jax.grad(lambda p: loss(m_plain, v_plain, p)))(
+            v_plain["params"]
+        )
+        g_shard = jax.jit(jax.grad(lambda p: loss(m_shard, v_shard, p)))(
+            v_shard["params"]
+        )
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+            ),
+            g_plain, g_shard,
+        )
+    finally:
+        cfg_mod.set_use_pallas("auto")
+
+
 def test_face_sharded_cfp_conv_matches_unsharded(rng):
     """The face-sharded fused conv (edge-band all_gather + local kernel)
     matches the single-device conv exactly — forward and both gradients —

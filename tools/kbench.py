@@ -1,11 +1,12 @@
 """Microbenchmark for the fused Pallas stencil-conv kernel.
 
-Isolates the pallas_call itself (xpad/wpad prebuilt on device) from the
-full ``stencil_graph_conv`` wrapper (pad_faces + layout transposes +
-corner correction), at the headline shape family: K=5 Chebyshev,
-Fin=Fout=4, batch 4.
+Isolates the pallas_call itself (native cfp activations + halo strips
+prebuilt on device) from the full ``stencil_graph_conv`` wrapper (layout
+transposes + strip builds + corner correction), at the headline shape
+family: K=5 Chebyshev, Fin=Fout=4, batch 4.
 
-Usage:  python tools/kbench.py [nside] [variant ...]
+Usage:  python tools/kbench.py [nside]
+Env:    KB_K, KB_FIN, KB_FOUT, KB_BATCH override the shape family.
 """
 
 import os
@@ -24,7 +25,9 @@ BATCH = int(os.environ.get("KB_BATCH", 4))
 
 
 def timed(fn, *args, n_iters=20, chain=None):
-    """Chained timing with host readback (see bench.py for why)."""
+    """Chained timing with scalar host readback (see bench.py for why:
+    block_until_ready can return before remote execution finishes on the
+    tunneled TPU, and full-array readback poisons timings)."""
     import jax
 
     out = fn(*args)
@@ -45,7 +48,11 @@ def main():
 
     from deepsphere_tpu.graph import build_sphere_graph
     from deepsphere_tpu.ops import pallas_stencil as ps
-    from deepsphere_tpu.ops.stencil import stencil_graph_conv, stencil_tables
+    from deepsphere_tpu.ops.stencil import (
+        cface_embed,
+        stencil_graph_conv,
+        stencil_tables,
+    )
 
     cache = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_cache"
@@ -55,29 +62,14 @@ def main():
     st = graph.face_stencil(0.75, n_steps=K - 1)
     npix = graph.n_pixels
     n = st.nside
+    h = st.n_steps
     rng = np.random.RandomState(0)
     kernel = jnp.asarray(rng.normal(scale=0.1, size=(FIN * K, FOUT)), jnp.float32)
     x = jnp.asarray(rng.normal(size=(BATCH, npix, FIN)), jnp.float32)
     tables = jax.device_put(stencil_tables(st))
-
-    C = BATCH * FIN
-    Cout = BATCH * FOUT
-
-    # prebuilt kernel inputs (channels-first padded activations)
-    from deepsphere_tpu.ops.stencil import pad_faces
-
-    @jax.jit
-    def prep(tables, x):
-        x3 = jnp.transpose(x, (0, 2, 1)).reshape(BATCH * FIN, 12, n, n)
-        xpad = ps._assemble_padded(st, tables, x3)
-        wk3 = jnp.transpose(kernel.astype(jnp.float32).reshape(FIN, K, FOUT), (1, 0, 2))
-        return xpad, wk3
-
-    xpad, wk3 = jax.block_until_ready(prep(tables, x))
-    wpad = tables["weights"]
+    interpret = jax.default_backend() != "tpu"
 
     maps = lambda dt: BATCH / dt
-
     results = {}
 
     # full conv (face layout), as bench.py measures
@@ -91,41 +83,71 @@ def main():
     results["full_conv"] = dt
     print(f"full conv     : {dt*1e3:8.2f} ms   {maps(dt):8.1f} maps/s")
 
-    # kernel only
+    # native-layout (cfp) conv with custom VJP, as a conv chain runs it
     @jax.jit
-    def kern_only(tables, xpad, wk3):
-        return ps._run_stencil_kernel(st, "cheby", K, xpad, tables["weights"],
-                                      wk3, BATCH, False)
+    def conv_cfp(tables, xc, kernel):
+        return ps.fused_stencil_conv_cfp(st, tables, xc, kernel, K, "cheby",
+                                         BATCH, interpret=interpret)
 
-    dt = timed(kern_only, tables, xpad, wk3)
+    xc = jax.block_until_ready(
+        jax.jit(lambda x: cface_embed(x, n, h).reshape(BATCH * FIN, 12, n, -1))(x)
+    )
+    dt = timed(conv_cfp, tables, xc, kernel,
+               chain=lambda a, out: (a[0], out, a[2]))
+    results["conv_cfp"] = dt
+    print(f"conv cfp      : {dt*1e3:8.2f} ms   {maps(dt):8.1f} maps/s")
+
+    # kernel only: prebuilt strips + weight planes, bare pallas_call
+    wk3 = jnp.transpose(kernel.reshape(FIN, K, FOUT), (1, 0, 2))
+    wext = tables["weights"].astype(jnp.float32)
+
+    @jax.jit
+    def strips_only(xc):
+        return ps._strip_arrays(st, xc)
+
+    strips = jax.block_until_ready(strips_only(xc))
+    dt = timed(strips_only, xc)
+    results["strips"] = dt
+    print(f"strip build   : {dt*1e3:8.2f} ms")
+
+    @jax.jit
+    def kern_only(xc, wext, strips, wk3):
+        return ps._run_stencil_kernel(st, "cheby", K, xc, wext, strips, wk3,
+                                      BATCH, interpret)
+
+    dt = timed(kern_only, xc, wext, strips, wk3)
     results["kernel_fwd"] = dt
     print(f"kernel fwd    : {dt*1e3:8.2f} ms   {maps(dt):8.1f} maps/s")
 
-    # wrapper overhead probe: pad_faces + transposes alone
-    dt = timed(prep, tables, x)
-    results["prep"] = dt
-    print(f"prep (pad+T)  : {dt*1e3:8.2f} ms")
+    # dW kernel (same band windows, scalar contractions)
+    dy = jax.block_until_ready(
+        jax.jit(lambda xc: jnp.tile(xc[: BATCH * FOUT], (1, 1, 1, 1)))(xc)
+    )
 
-
-    # channels-first conv (the model-chain hot path: zero transposes)
     @jax.jit
-    def conv_cf(tables, x3, kernel):
-        return ps.fused_stencil_conv_cf(st, tables, x3, kernel, K, "cheby", BATCH)
+    def grad_only(xc, wext, strips, dy):
+        return ps._run_grad_kernel(st, "cheby", K, xc, wext, strips, dy,
+                                   BATCH, FIN, interpret)
 
-    x3 = jax.block_until_ready(jax.jit(
-        lambda x: jnp.transpose(x, (0, 2, 1)).reshape(BATCH * FIN, 12, n, n))(x))
-    dt = timed(conv_cf, tables, x3, kernel,
-               chain=lambda a, out: (a[0], out, a[2]))
-    results["conv_cf"] = dt
-    print(f"conv cf       : {dt*1e3:8.2f} ms   {maps(dt):8.1f} maps/s")
+    dt = timed(grad_only, xc, wext, strips, dy)
+    results["kernel_dw"] = dt
+    print(f"kernel dW     : {dt*1e3:8.2f} ms")
 
-    # halo assembly alone
+    # full train-ish step: value+grad through the cfp conv
     @jax.jit
-    def asm(tables, x3):
-        return ps._assemble_padded(st, tables, x3)
-    dt = timed(asm, tables, x3)
-    results["assemble"] = dt
-    print(f"assemble      : {dt*1e3:8.2f} ms")
+    def vjp_step(tables, xc, kernel):
+        def loss(xc, kernel):
+            y = ps.fused_stencil_conv_cfp(st, tables, xc, kernel, K, "cheby",
+                                          BATCH, interpret=interpret)
+            return jnp.sum(y * y)
+
+        l, (dx, dk) = jax.value_and_grad(loss, argnums=(0, 1))(xc, kernel)
+        return l, dx, dk
+
+    dt = timed(vjp_step, tables, xc, kernel,
+               chain=lambda a, out: (a[0], out[1], a[2]))
+    results["fwd_dx_dw"] = dt
+    print(f"fwd+dx+dW     : {dt*1e3:8.2f} ms   {maps(dt):8.1f} maps/s")
 
     return results
 
