@@ -58,6 +58,112 @@ def _time(fn, tables, x, kernel, n_iters=20):
     return (time.time() - t0) / n_iters
 
 
+def _model_bench(jax, jnp, cache):
+    """quick_start-shaped model benchmark (reference architecture verbatim:
+    4x Chebyshev K=10 + pools + mean-softmax head, quick_start.ipynb cell 7)
+    at nside=64 batch 16 — catches regressions in layout converters, BN,
+    pooling and the Trainer that the single-conv number cannot see.
+    Reference baseline: ~0.6 s/step on unstated hardware (cell 16)."""
+    import flax.linen as fnn
+    import optax
+
+    import deepsphere_tpu as ds
+    from deepsphere_tpu.nn import healpy_layers as hp_nn
+
+    nside = int(os.environ.get("BENCH_MODEL_NSIDE", 64))
+    batch = 16
+    npix = ds.sphere.healpix.nside2npix(nside)
+
+    class MeanSoftmax(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, training=False):
+            return jax.nn.softmax(jnp.mean(x, axis=1), axis=-1)
+
+    layers = [
+        hp_nn.HealpyChebyshev(K=10, Fout=5, use_bias=True, use_bn=True,
+                              activation="relu"),
+        hp_nn.HealpyPool(p=1),
+        hp_nn.HealpyChebyshev(K=10, Fout=5, use_bias=True, use_bn=True,
+                              activation="relu"),
+        hp_nn.HealpyPool(p=1),
+        hp_nn.HealpyChebyshev(K=10, Fout=5, use_bias=True, use_bn=True,
+                              activation="relu"),
+        hp_nn.HealpyPool(p=1),
+        hp_nn.HealpyChebyshev(K=10, Fout=2),
+        MeanSoftmax(),
+    ]
+    model = ds.HealpyGCNN(nside=nside, indices=np.arange(npix),
+                          layers=layers, graph_cache_dir=cache)
+    x = jnp.asarray(
+        np.random.RandomState(2).normal(size=(batch, npix, 1)), jnp.float32
+    )
+    y = jnp.asarray(np.arange(batch) % 2, jnp.int32)
+    variables = model.init(0, x)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    tables = {k: v for k, v in variables.items()
+              if k not in ("params", "batch_stats")}
+
+    def readback(t):
+        leaf = jax.tree_util.tree_leaves(t)[0]
+        if leaf.ndim == 0:
+            np.asarray(leaf)
+        else:
+            np.asarray(leaf[(0,) * (leaf.ndim - 1) + (slice(0, 1),)])
+
+    # forward: chain x through a zero-coupled output term
+    @jax.jit
+    def fwd(tables, params, stats, x):
+        out = model.module.apply(
+            {**tables, "params": params, "batch_stats": stats}, x,
+            training=False,
+        )
+        return x + 0.0 * jnp.sum(out), out
+
+    xc, out = fwd(tables, params, stats, x)
+    readback(out)
+    n_it = 10
+    t0 = time.time()
+    for _ in range(n_it):
+        xc, out = fwd(tables, params, stats, xc)
+    readback(out)
+    qs_fwd = (time.time() - t0) / n_it
+
+    # train step: params/opt-state chain naturally
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(tables, params, stats, opt, x, y):
+        def loss_fn(p):
+            out, upd = model.module.apply(
+                {**tables, "params": p, "batch_stats": stats}, x,
+                training=True, mutable=["batch_stats"],
+            )
+            # quick_start head emits probabilities; clip like Keras CE
+            logp = jnp.log(jnp.clip(out, 1e-7, 1.0))
+            loss = -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=-1))
+            return loss, upd["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), new_stats, new_opt, loss
+
+    params, stats, opt, loss = step(tables, params, stats, opt, x, y)
+    readback(loss)
+    t0 = time.time()
+    for _ in range(n_it):
+        params, stats, opt, loss = step(tables, params, stats, opt, x, y)
+    readback(loss)
+    qs_train = (time.time() - t0) / n_it
+    return {
+        "qs_model_nside": nside,
+        "qs_fwd_ms": round(qs_fwd * 1e3, 2),
+        "qs_train_step_ms": round(qs_train * 1e3, 2),
+        "qs_train_maps_per_s": round(batch / qs_train, 1),
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -128,6 +234,59 @@ def main():
 
     dt_f = _time(conv_stencil, st_tables, x, kernel, n_iters=5)
     extra["face_flat_step_ms"] = round(dt_f * 1e3, 2)
+
+    # training step at the headline config: fwd + dx + dW through the fused
+    # conv's custom VJP (dx output chains the iterations; dW rides along)
+    @jax.jit
+    def train_like(tables, x5, kernel):
+        def loss(x5, kernel):
+            y = stencil_graph_conv_cface(st, x5, kernel, K, "cheby",
+                                         tables=tables)
+            return jnp.sum(y * y)
+
+        _, (dx, dk) = jax.value_and_grad(loss, argnums=(0, 1))(x5, kernel)
+        return dx
+
+    try:
+        dt_t = _time(train_like, st_tables, x5, kernel, n_iters=10)
+        extra["train_step_ms"] = round(dt_t * 1e3, 2)
+        extra["train_over_fwd"] = round(dt_t / dt, 2)
+    except Exception as e:
+        extra["train_step_error"] = str(e)[:120]
+
+    if os.environ.get("BENCH_MODEL", "1") == "1":
+        try:
+            extra.update(_model_bench(jax, jnp, cache))
+        except Exception as e:
+            extra["model_bench_error"] = str(e)[:160]
+
+    if os.environ.get("BENCH_K20", "1") == "1":
+        # k=20 ring-template conv (radius-2 stencil) at nside=256: the
+        # reference treats k in {20,40,60} as first-class
+        # (healpy_networks.py:39-42); round 1 left them on the gather path
+        try:
+            n20 = int(os.environ.get("BENCH_K20_NSIDE", 256))
+            g20 = build_sphere_graph(n20, k=20, method="grid", cache_dir=cache)
+            st20 = g20.deep_stencil(0.75, K)
+            t20 = jax.device_put(stencil_tables(st20))
+            x20 = jnp.asarray(
+                np.random.RandomState(3).normal(
+                    size=(BATCH, g20.n_pixels, FIN)
+                ), jnp.float32,
+            )
+
+            @jax.jit
+            def conv20(tables, x, kernel):
+                return stencil_graph_conv(
+                    st20, x, kernel, K, "cheby", tables=tables, layout="face"
+                )
+
+            dt20 = _time(conv20, t20, x20, kernel, n_iters=10)
+            extra["k20_nside"] = n20
+            extra["k20_step_ms"] = round(dt20 * 1e3, 2)
+            extra["k20_maps_per_s"] = round(BATCH / dt20, 1)
+        except Exception as e:
+            extra["k20_error"] = str(e)[:160]
 
     if os.environ.get("BENCH_GATHER_PATH", "1") == "1":
         # free the stencil-path buffers first: the gather path's basis

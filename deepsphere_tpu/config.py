@@ -44,6 +44,31 @@ def pallas_mode():
     return "interpret" if use_pallas == "on" else None
 
 
+# Fused-kernel channel-contraction strategy:
+#   "auto" — scalar-AXPY for small unroll counts (B*Fin*Fout*K), per-batch
+#            MXU matmuls beyond the threshold (the AXPY unroll count is
+#            also Mosaic compile time, which explodes at quick_start-scale
+#            channel counts)
+#   "axpy" / "dot" — force one strategy (benchmarking)
+contract_mode: str = "auto"
+contract_dot_min_unroll: int = 1024
+
+
+def set_contract_mode(mode: str, dot_min_unroll: int | None = None):
+    global contract_mode, contract_dot_min_unroll
+    if mode not in ("auto", "axpy", "dot"):
+        raise ValueError(f"contract_mode must be auto/axpy/dot, got {mode}")
+    contract_mode = mode
+    if dot_min_unroll is not None:
+        contract_dot_min_unroll = int(dot_min_unroll)
+
+
+def resolve_contract(unroll: int) -> str:
+    if contract_mode != "auto":
+        return contract_mode
+    return "axpy" if unroll <= contract_dot_min_unroll else "dot"
+
+
 # Kernel-cost bisection hooks (dev only).  The fused kernel consults
 # ``kernel_bisect()`` to optionally skip its recursion / contraction /
 # lane-store stages when measuring where time goes (tools/kbench.py).  The

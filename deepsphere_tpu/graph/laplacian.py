@@ -48,10 +48,22 @@ def _grid_adjacency(nside, indices, kernel_width=None):
     """Gaussian-weighted adjacency from the NEST grid 8-neighbor structure
     (vectorized; O(M) — no tree queries).  This is the construction of the
     original DeepSphere (healpy ``get_all_neighbours``); it differs from the
-    kNN graph only along face boundaries.  Full sphere only."""
+    kNN graph only along face boundaries.
+
+    Partial skies are supported: edges to out-of-mask pixels are dropped
+    (mask-boundary rows keep < 8 neighbors), which keeps the graph
+    grid-structured INSIDE the mask — the property the stencil / fused
+    Pallas conv path needs (the kNN construction instead rewires boundary
+    pixels to 2nd-ring neighbors, breaking the stencil form)."""
     n = len(indices)
+    npix = hp.nside2npix(nside)
     coords = hp.pix2vec(nside, indices, nest=True)
-    nb = hp.neighbors_nest(nside, indices)  # (M, 8), -1 padded
+    nb = hp.neighbors_nest(nside, indices)  # (M, 8) GLOBAL ids, -1 padded
+    if n != npix:
+        glob2loc = np.full(npix, -1, dtype=np.int64)
+        glob2loc[np.asarray(indices, dtype=np.int64)] = np.arange(n)
+        nb = np.where(nb >= 0, glob2loc[np.clip(nb, 0, npix - 1)], -1)
+    # nb is now in LOCAL ids; -1 where the neighbor is absent/out of mask.
     # per-direction distance computation keeps temporaries at O(M), not O(8M)
     d2 = np.zeros((n, 8), dtype=np.float64)
     for j in range(8):
@@ -68,6 +80,84 @@ def _grid_adjacency(nside, indices, kernel_width=None):
     W = sparse.csr_matrix((w[valid], (rows, cols)), shape=(n, n))
     # the grid-neighbor relation and the chord weights are symmetric already;
     # no symmetrization pass needed
+    return W, kernel_width
+
+
+#: template radius per supported neighbor count for the ring ("grid")
+#: construction: k nearest pixels are selected WITHIN the Chebyshev-radius-r
+#: face-coordinate ring template, so the operator stays a (2r+1)^2 stencil
+#: — the structured form the fused TPU conv path requires.  The template
+#: sizes (24, 48, 80) bound the reference's k in {20, 40, 60}
+#: (healpy_networks.py:39-42).
+GRID_RADIUS = {8: 1, 20: 2, 40: 3, 60: 4}
+
+
+def _grid_ring_adjacency(nside, indices, k, kernel_width=None):
+    """Gaussian-weighted adjacency with neighbors = the k nearest pixels
+    inside the radius-r face-grid ring template (r = GRID_RADIUS[k]).
+
+    TPU-native analogue of the reference's k in {20, 40, 60} kNN graphs:
+    per row, the k nearest template pixels are kept (ties at the template
+    corners are the farthest and drop out naturally) and the edge set is
+    symmetrized by INTERSECTION, so every edge is representable in both
+    endpoints' stencils.  Unselected / cross-template edges differ from
+    the true kNN graph the same way the r=1 grid differs from kNN at k=8
+    — use method="knn" for strict reference-graph semantics (slow conv
+    path).  Supports partial skies (out-of-mask edges dropped).
+    """
+    from ..sphere.faces import face2nest_index, halo_map
+
+    r = GRID_RADIUS[k]
+    n_loc = len(indices)
+    npix = hp.nside2npix(nside)
+    hm = halo_map(nside, r)  # (12, n+2r, n+2r) global ids, -1 pad
+    offsets = [(dx, dy)
+               for dx in range(-r, r + 1) for dy in range(-r, r + 1)
+               if (dx, dy) != (0, 0)]
+    T = len(offsets)
+
+    # neighbor table in face-flat order -> NEST order
+    nb_face = np.empty((12 * nside * nside, T), dtype=np.int64)
+    for t, (dx, dy) in enumerate(offsets):
+        nb_face[:, t] = hm[:, r + dx : r + dx + nside,
+                           r + dy : r + dy + nside].reshape(-1)
+    f2n = face2nest_index(nside)
+    nb = nb_face[f2n]  # (npix, T) global neighbor ids per NEST pixel
+
+    glob = np.asarray(indices, dtype=np.int64)
+    nb = nb[glob]
+    if n_loc != npix:
+        glob2loc = np.full(npix, -1, dtype=np.int64)
+        glob2loc[glob] = np.arange(n_loc)
+        nb = np.where(nb >= 0, glob2loc[np.clip(nb, 0, npix - 1)], -1)
+
+    coords = hp.pix2vec(nside, glob, nest=True)
+    d2 = np.full((n_loc, T), np.inf)
+    for t in range(T):
+        cj = np.clip(nb[:, t], 0, n_loc - 1)
+        diff = coords - coords[cj]
+        d = np.einsum("ij,ij->i", diff, diff)
+        d2[:, t] = np.where(nb[:, t] >= 0, d, np.inf)
+
+    # per-row k nearest within the template
+    k_eff = min(k, T)
+    part = np.argpartition(d2, k_eff - 1, axis=1)[:, :k_eff]
+    sel = np.zeros((n_loc, T), dtype=bool)
+    np.put_along_axis(sel, part, True, axis=1)
+    sel &= np.isfinite(d2)
+
+    rows = np.repeat(np.arange(n_loc, dtype=np.int64), T).reshape(n_loc, T)
+    rr, cc, dd = rows[sel], nb[sel], np.sqrt(d2[sel])
+    S = sparse.csr_matrix((dd + 1e-300, (rr, cc)), shape=(n_loc, n_loc))
+    # symmetrize by intersection: min keeps only edges selected by BOTH
+    # endpoints (distances are symmetric, so values agree)
+    S = S.minimum(S.T)
+    S.eliminate_zeros()
+    dist = S.data
+    if kernel_width is None:
+        kernel_width = float(dist.mean()) if dist.size else 1.0
+    W = S.copy()
+    W.data = np.exp(-(dist**2) / (2.0 * kernel_width**2))
     return W, kernel_width
 
 
@@ -263,12 +353,33 @@ class SphereGraph:
                 self._ellpack_cache[key] = _to_ellpack(self.rescaled(scale))
         return self._ellpack_cache[key]
 
-    def face_stencil(self, scale, n_steps=1):
+    @property
+    def stencil_radius(self):
+        """Candidate stencil template radius for this graph's k (1, 2, 3 or
+        4), or None if k has no grid template.  Extraction verifies the
+        edges actually fit the template (kNN graphs get rejected there)."""
+        return GRID_RADIUS.get(int(self.k))
+
+    def deep_stencil(self, scale, n_terms):
+        """The stencil sized for a FUSED (n_terms - 1)-application conv:
+        halo depth = radius * (n_terms - 1).  None when unavailable."""
+        r = self.stencil_radius
+        if r is None:
+            return None
+        n_apps = max(int(n_terms) - 1, 1)
+        return self.face_stencil(scale, n_steps=r * n_apps)
+
+    def face_stencil(self, scale, n_steps=None):
         """Stencil form of the rescaled Laplacian on the 12-face layout
         (see :mod:`.stencil`), or ``None`` if this graph is not
-        grid-structured (partial sky / kNN edges beyond the NEST
-        8-neighborhood).  Memoized per (scale, n_steps) and disk-cached
+        grid-structured (partial sky / kNN edges beyond the template).
+        ``n_steps`` is the halo depth (default: one application = the
+        template radius).  Memoized per (scale, n_steps) and disk-cached
         next to the graph cache when one is configured."""
+        if n_steps is None:
+            n_steps = self.stencil_radius
+            if n_steps is None:
+                return None
         key = ("stencil", round(float(scale), 12), int(n_steps))
         if key not in self._ellpack_cache:
             from .stencil import face_stencil, load_stencil_cache, save_stencil_cache
@@ -337,7 +448,9 @@ def build_sphere_graph(
         cache of the reference smoothing layer (``healpy_layers.py:652-662``).
     :param method: "knn" (pygsp-SphereHealpix semantics, default) or "grid"
         (NEST 8-neighbor structure, vectorized O(M) build — the original
-        DeepSphere-TF1 construction; requires k=8 and a full sphere).
+        DeepSphere-TF1 construction; requires k=8.  Supports partial skies
+        by dropping out-of-mask edges, which keeps the graph
+        stencil-representable — the fast conv path on TPU).
     """
     if indices is None:
         indices = np.arange(hp.nside2npix(nside), dtype=np.int64)
@@ -383,14 +496,39 @@ def build_sphere_graph(
             return g
 
     if method == "grid":
+        if k not in GRID_RADIUS:
+            raise ValueError(
+                f"method='grid' supports k in {sorted(GRID_RADIUS)}, got {k}"
+            )
+        full_sphere = len(indices) == hp.nside2npix(nside)
         if k != 8:
-            raise ValueError("method='grid' supports k=8 only")
-        if len(indices) != hp.nside2npix(nside):
-            raise ValueError("method='grid' supports the full sphere only")
+            # radius-r ring template construction (stencil-structured
+            # analogue of the reference's k in {20,40,60} kNN graphs)
+            W, kw_used = _grid_ring_adjacency(nside, indices, k, kernel_width)
+            L = (_normalized_laplacian(W) if lap_type == "normalized"
+                 else _combinatorial_laplacian(W))
+            graph = SphereGraph(
+                nside=nside, indices=indices, k=k, lap_type=lap_type,
+                kernel_width=kw_used, L=L, A=W, lmax=lmax_bound(L),
+            )
+            graph._cache_dir = cache_dir
+            if cache_path is not None:
+                os.makedirs(cache_dir, exist_ok=True)
+                tmp_path = cache_path + f".{os.getpid()}.tmp.npz"
+                np.savez(
+                    tmp_path,
+                    w_data=W.data, w_indices=W.indices, w_indptr=W.indptr,
+                    l_data=L.data, l_indices=L.indices, l_indptr=L.indptr,
+                    shape=np.array(W.shape),
+                    kernel_width=kw_used, lmax=graph.lmax,
+                )
+                os.replace(tmp_path, cache_path)
+                logger.info(f"Cached sphere graph to {cache_path}")
+            return graph
 
         from .. import native
 
-        if lap_type == "normalized" and native.available():
+        if full_sphere and lap_type == "normalized" and native.available():
             # one-pass native build: neighbors + weights + normalized-L
             # ELLPACK + Lanczos lmax; csr matrices stay lazy
             res = native.grid_laplacian(nside, kernel_width)

@@ -3,10 +3,12 @@
 The reference computes graph convolution as repeated sparse matvecs of an
 M x M Laplacian (``/root/reference/src/deepsphere/gnn_layers.py:137-143``
 via ``tf.sparse.sparse_dense_matmul``).  On TPU, gathers are the enemy; but
-for the 8-neighbor HEALPix graph the Laplacian *is* a 3x3 stencil on the
+for the grid/ring HEALPix graphs (k = 8 -> radius-1, k in {20, 40, 60} ->
+radius 2/3/4 templates) the Laplacian *is* a (2r+1)^2 stencil on the
 (12, nside, nside) face layout (see :mod:`..sphere.faces`), with per-pixel
 weights (edge weights vary over the sphere) and a halo exchange at face
-borders.  This module extracts that stencil from any grid-structured
+borders.  Masked skies extract too (all-zero rows outside the mask).  This
+module extracts that stencil from any grid-structured
 :class:`~deepsphere_tpu.graph.SphereGraph`:
 
 * ``weights`` — (9, 12, Pw, Pw) per-direction weight planes of the rescaled
@@ -42,12 +44,29 @@ __all__ = [
     "FaceStencil",
     "face_stencil",
     "STENCIL_OFFSETS",
+    "stencil_offsets",
     "load_stencil_cache",
     "save_stencil_cache",
 ]
 
 # (dx, dy) per weight plane; plane 8 is the center/diagonal term
 STENCIL_OFFSETS = [(int(x), int(y)) for x, y in zip(_NB_XOFFSET, _NB_YOFFSET)] + [(0, 0)]
+
+
+def stencil_offsets(radius):
+    """Tap offsets of a radius-r stencil, center LAST.
+
+    radius 1 keeps the legacy healpix_base neighbor order (caches and the
+    native weight extractor depend on it); radius > 1 (the k in {20,40,60}
+    ring graphs) uses raster order over the (2r+1)^2 template.
+    """
+    if radius == 1:
+        return STENCIL_OFFSETS
+    r = int(radius)
+    offs = [(dx, dy)
+            for dx in range(-r, r + 1) for dy in range(-r, r + 1)
+            if (dx, dy) != (0, 0)]
+    return offs + [(0, 0)]
 
 
 @dataclass(eq=False)
@@ -62,7 +81,8 @@ class FaceStencil:
     """
 
     nside: int
-    n_steps: int  # halo (pad) depth; weights cover positions of depth <= n_steps-1
+    n_steps: int  # halo (pad) depth = radius * (fused applications);
+    # weights cover positions of depth <= n_steps - radius
     scale: float
     weights: np.ndarray
     # (9, 12, nside + 2R, P_l) f32 wrapped-extended weight planes,
@@ -95,10 +115,16 @@ class FaceStencil:
     # (Rc,) ball-local positions of the corrupt rows
     corr_out_face: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
     # (Rc,) face-flat positions of the corrupt rows
+    radius: int = 1  # stencil radius r: taps span (2r+1)^2; one application
+    # consumes r halo rows/cols (k in {20,40,60} ring graphs have r > 1)
 
     @property
     def pad_width(self):
         return self.nside + 2 * self.n_steps
+
+    @property
+    def offsets(self):
+        return stencil_offsets(self.radius)
 
 
 def _stencil_cache_path(graph, scale, n_steps, cache_dir):
@@ -111,7 +137,7 @@ def _stencil_cache_path(graph, scale, n_steps, cache_dir):
         return None
     tag = "-".join(str(p) for p in h)
     return os.path.join(
-        cache_dir, f"face_stencil-v3-{tag}-s{scale:.6g}-n{n_steps}.npz"
+        cache_dir, f"face_stencil-v4-{tag}-s{scale:.6g}-n{n_steps}.npz"
     )
 
 
@@ -130,6 +156,7 @@ def load_stencil_cache(graph, scale, n_steps, cache_dir):
         "south_src", "south_mask", "north_src", "north_mask",
         "n2f", "f2n", "corrupt_rows",
         "corr_src", "corr_idx", "corr_val", "corr_out_ball", "corr_out_face",
+        "radius",
     ]
     if not all(f in z for f in fields):  # stale cache from an older layout
         return None
@@ -137,7 +164,8 @@ def load_stencil_cache(graph, scale, n_steps, cache_dir):
         nside=int(z["nside"]),
         n_steps=int(n_steps),
         scale=float(scale),
-        **{f: z[f] for f in fields},
+        **{f: z[f] for f in fields if f != "radius"},
+        radius=int(z["radius"]),
     )
 
 
@@ -161,6 +189,7 @@ def save_stencil_cache(st, graph, cache_dir):
         south_mask=st.south_mask,
         north_src=st.north_src,
         north_mask=st.north_mask,
+        radius=np.asarray(st.radius),
         n2f=st.n2f,
         f2n=st.f2n,
         corrupt_rows=st.corrupt_rows,
@@ -183,7 +212,7 @@ def _lookup_entries(ell_idx, ell_val, rows, cols, chunk=1 << 20):
     return out
 
 
-def face_stencil(graph, scale, n_steps=1):
+def face_stencil(graph, scale, n_steps=None):
     """Extract the stencil form of ``graph``'s rescaled Laplacian.
 
     :param graph: a :class:`~deepsphere_tpu.graph.SphereGraph` over the full
@@ -195,27 +224,58 @@ def face_stencil(graph, scale, n_steps=1):
         ``corrupt_rows`` set that callers must re-correct.
     :raises ValueError: if the graph is not stencil-representable.
     """
+    from .laplacian import GRID_RADIUS
+
     nside = int(graph.nside)
     npix = hp.nside2npix(nside)
-    if graph.n_pixels != npix:
-        raise ValueError("face stencil requires a full-sphere graph")
-    if n_steps < 1 or n_steps >= nside:
-        raise ValueError(f"n_steps must be in [1, nside), got {n_steps}")
+    radius = GRID_RADIUS.get(int(graph.k))
+    if radius is None:
+        raise ValueError(
+            f"no stencil template for k={graph.k}; supported k: "
+            f"{sorted(GRID_RADIUS)}"
+        )
+    if n_steps is None:
+        n_steps = radius
+    if n_steps < radius or n_steps % radius or n_steps >= nside:
+        raise ValueError(
+            f"n_steps (halo depth) must be a multiple of the stencil "
+            f"radius {radius} in [{radius}, nside), got {n_steps}"
+        )
 
     ell_idx, ell_val = graph.ellpack(scale)
-    if ell_idx.shape[1] > 9:
+    T2 = (2 * radius + 1) ** 2
+    if ell_idx.shape[1] > T2:
         raise ValueError(
             f"graph rows have up to {ell_idx.shape[1]} entries; "
-            "not an 8-neighbor grid graph"
+            f"not a radius-{radius} grid graph"
         )
+
+    partial = graph.n_pixels != npix
+    if partial:
+        # masked sky: embed the local ELLPACK into full-sphere NEST ids with
+        # ALL-ZERO rows outside the mask.  A mask-restricted grid graph has
+        # no out-of-mask edges, so the stencil recursion stays exact: the
+        # embedded activation is zero outside, zero-weight rows emit zero,
+        # and in-mask rows never read out-of-mask values (their weights are
+        # zero there too).  Reference anchor: the masked advanced_tutorial
+        # workload (healpy_networks.py:110-118 builds over `indexes`).
+        glob = np.asarray(graph.indices, dtype=np.int64)
+        W = ell_idx.shape[1]
+        idx_full = np.tile(np.arange(npix, dtype=np.int32)[:, None], (1, W))
+        val_full = np.zeros((npix, W), dtype=ell_val.dtype)
+        idx_full[glob] = glob[np.asarray(ell_idx, dtype=np.int64)].astype(np.int32)
+        val_full[glob] = ell_val
+        ell_idx, ell_val = idx_full, val_full
 
     from .. import native
 
-    h = n_steps - 1  # weight coverage depth
+    h = n_steps - radius  # weight coverage depth
     Pw = nside + 2 * h
-    hm = halo_map(nside, h + 1)  # need neighbors of depth-h positions
-    core = hm[:, 1 : 1 + Pw, 1 : 1 + Pw]
+    hm = halo_map(nside, n_steps)  # need neighbors of depth-h positions
+    core = hm[:, radius : radius + Pw, radius : radius + Pw]
     rows_flat = core.reshape(-1)
+    offsets = stencil_offsets(radius)
+    nplanes = len(offsets)
 
     # padded-activation embedding geometry (rows to a sublane multiple,
     # lanes to a lane-tile multiple, so fused-kernel band DMAs stay aligned)
@@ -224,7 +284,9 @@ def face_stencil(graph, scale, n_steps=1):
     P_l = -(-P // 128) * 128
 
     use_native = (
-        getattr(graph, "_ell_L", None) is not None and native.available()
+        radius == 1
+        and getattr(graph, "_ell_L", None) is not None
+        and native.available()
     )
     if use_native:
         # weight planes extracted in one native pass, already embedded
@@ -234,17 +296,20 @@ def face_stencil(graph, scale, n_steps=1):
         ).reshape(9, -1)
     else:
         # weight planes: w[d, f, u, v] = L[pix(f,u,v), pix((f,u,v)+d)]
-        weights = np.zeros((9, 12 * Pw * Pw), dtype=np.float32)
-        for d, (dx, dy) in enumerate(STENCIL_OFFSETS):
-            nbr = hm[:, 1 + dx : 1 + dx + Pw, 1 + dy : 1 + dy + Pw].reshape(-1)
+        weights = np.zeros((nplanes, 12 * Pw * Pw), dtype=np.float32)
+        for d, (dx, dy) in enumerate(offsets):
+            nbr = hm[:, radius + dx : radius + dx + Pw,
+                     radius + dy : radius + dy + Pw].reshape(-1)
             valid = (rows_flat >= 0) & (nbr >= 0)
             vals = np.zeros(rows_flat.shape[0], dtype=np.float32)
             vals[valid] = _lookup_entries(
                 ell_idx, ell_val, rows_flat[valid], nbr[valid]
             )
             weights[d] = vals
-        w_emb = np.zeros((9, 12, P_r, P_l), dtype=np.float32)
-        w_emb[:, :, 1 : 1 + Pw, 1 : 1 + Pw] = weights.reshape(9, 12, Pw, Pw)
+        w_emb = np.zeros((nplanes, 12, P_r, P_l), dtype=np.float32)
+        w_emb[:, :, radius : radius + Pw, radius : radius + Pw] = (
+            weights.reshape(nplanes, 12, Pw, Pw)
+        )
 
     # mass-conservation check against the ELLPACK row sums
     captured_abs = np.abs(weights.astype(np.float64)).sum(axis=0)
@@ -269,10 +334,12 @@ def face_stencil(graph, scale, n_steps=1):
         )
 
     # fused-step corruption: halo positions with incomplete neighborhoods
-    # poison everything within graph distance (n_steps - 1)
+    # poison everything within stencil reach over the remaining
+    # applications — Chebyshev distance (n_steps - radius), i.e. that many
+    # 8-neighbor BFS hops
     corrupt_rows = np.zeros(0, dtype=np.int64)
     corr = {}
-    if n_steps > 1 and np.any(incomplete):
+    if n_steps > radius and np.any(incomplete):
         if getattr(graph, "_nb_w", None) is not None:
             nb = graph._nb_w[0]
         elif native.available():
@@ -294,7 +361,7 @@ def face_stencil(graph, scale, n_steps=1):
             return np.asarray(sorted(reach), dtype=np.int64)
 
         seeds = np.unique(rows_flat[incomplete])
-        corrupt_rows = bfs(seeds, n_steps - 1)
+        corrupt_rows = bfs(seeds, n_steps - radius)
 
         # recompute ball: t_0 gathered exactly, so a ball of radius n_steps
         # around the corrupt rows supports n_steps exact recursion steps at
@@ -341,7 +408,7 @@ def face_stencil(graph, scale, n_steps=1):
     # wrapped-extended weight layout (see FaceStencil.weights): face row x
     # lives at old embedded row x + n_steps
     R = -(-n_steps // 8) * 8
-    w_ext = np.zeros((9, 12, nside + 2 * R, P_l), dtype=np.float32)
+    w_ext = np.zeros((nplanes, 12, nside + 2 * R, P_l), dtype=np.float32)
     w_ext[:, :, 0:nside] = w_emb[:, :, n_steps : n_steps + nside, :P_l]
     for rr in range(1, n_steps):  # top halo: face rows -rr
         w_ext[:, :, nside + R - rr] = w_emb[:, :, n_steps - rr, :P_l]
@@ -352,6 +419,7 @@ def face_stencil(graph, scale, n_steps=1):
         nside=nside,
         n_steps=n_steps,
         scale=float(scale),
+        radius=radius,
         weights=w_ext,
         west_src=west_src,
         west_mask=west_mask,

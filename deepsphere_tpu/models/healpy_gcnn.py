@@ -278,6 +278,10 @@ class HealpyGCNN:
             cfg = layer.shard_cfg
             return cfg is None or 12 % cfg.n_pixel_shards == 0
 
+        def full_sphere(layer):
+            g = layer.graph
+            return g.n_pixels == hp.nside2npix(g.nside)
+
         def cface_info(layer):
             """("cf", h) for a cface-capable conv/residual, ("sif",) for a
             pass-through geometry layer, else None."""
@@ -286,33 +290,30 @@ class HealpyGCNN:
             if isinstance(layer, _GraphPolyConv):
                 if not shardable(layer) or layer.conv_method not in (
                     "auto", "stencil",
-                ):
+                ) or not full_sphere(layer):
                     return None
                 n_terms = layer.K + layer._n_terms_offset
                 if layer._basis_kind not in ("cheby", "mono") or n_terms < 2:
                     return None
-                st = layer.graph.face_stencil(
-                    layer._scale, n_steps=n_terms - 1
-                )
+                st = layer.graph.deep_stencil(layer._scale, n_terms)
                 if st is None or not cfp_structural_available(
                     st, layer._basis_kind, n_terms
                 ):
                     return None
-                return ("cf", n_terms - 1)
+                return ("cf", st.n_steps)
             if isinstance(layer, ResidualLayer):
                 scales = {"CHEBY": 0.75, "MONO": 1.0}
-                if not shardable(layer) or layer.layer_type not in scales:
+                if (not shardable(layer) or layer.layer_type not in scales
+                        or not full_sphere(layer)):
                     return None
                 K = dict(layer.layer_kwargs or {}).get("K", None)
                 if K is None or K < 2:
                     return None
-                st = layer.graph.face_stencil(
-                    scales[layer.layer_type], n_steps=K - 1
-                )
+                st = layer.graph.deep_stencil(scales[layer.layer_type], K)
                 kind = "cheby" if layer.layer_type == "CHEBY" else "mono"
                 if st is None or not cfp_structural_available(st, kind, K):
                     return None
-                return ("cf", K - 1)
+                return ("cf", st.n_steps)
             if isinstance(
                 layer, (HealpyPool, HealpyPseudoConv, HealpyPseudoConv_Transpose)
             ):
@@ -326,6 +327,7 @@ class HealpyGCNN:
                 if (
                     layer.shard_cfg is None
                     and layer.conv_method in ("auto", "stencil")
+                    and full_sphere(layer)
                     and layer.graph.face_stencil(layer._scale) is not None
                 ):
                     return layer.clone(layout="face")
@@ -335,6 +337,7 @@ class HealpyGCNN:
                 if (
                     layer.shard_cfg is None
                     and layer.layer_type in conv_cls
+                    and full_sphere(layer)
                     and layer.graph.face_stencil(conv_cls[layer.layer_type]) is not None
                 ):
                     return layer.clone(layout="face")
@@ -436,13 +439,18 @@ class HealpyGCNN:
     def _get_graph(self, nside, indices):
         key = (nside, hash(np.ascontiguousarray(indices).tobytes()))
         if key not in self.graphs:
-            # "auto": the TPU-native grid construction (stencil-compatible,
-            # O(M) build) whenever it applies — full sphere, k=8 — else the
-            # kNN graph of the reference's pygsp backend
+            # "auto": the TPU-native grid/ring construction
+            # (stencil-compatible -> fused conv path, O(M) build, exact
+            # masked-sky support) whenever a template exists for k — else
+            # the kNN graph of the reference's pygsp backend.  Pass
+            # graph_method="knn" for strict reference-graph semantics (kNN
+            # edges deviate from the ring template on ~20-30% of rows,
+            # which forces the slow gather conv path).
+            from ..graph.laplacian import GRID_RADIUS
+
             method = self._graph_method
             if method == "auto":
-                full_sphere = len(indices) == hp.nside2npix(nside)
-                method = "grid" if (self.n_neighbors == 8 and full_sphere) else "knn"
+                method = "grid" if self.n_neighbors in GRID_RADIUS else "knn"
             self.graphs[key] = build_sphere_graph(
                 nside,
                 indices,

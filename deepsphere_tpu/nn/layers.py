@@ -294,7 +294,7 @@ class _GraphPolyConv(nn.Module):
                 # path elsewhere.  The choice is platform-independent so a
                 # model initialized on CPU applies unchanged on TPU.
                 if self._basis_kind in ("cheby", "mono") and n_terms >= 2:
-                    st = self.graph.face_stencil(self._scale, n_steps=n_terms - 1)
+                    st = self.graph.deep_stencil(self._scale, n_terms)
                 if st is None:
                     st = self.graph.face_stencil(self._scale)
                 if st is None and self.conv_method == "stencil":
@@ -313,10 +313,36 @@ class _GraphPolyConv(nn.Module):
                 tables = self.variable(
                     "graph_tables", "stencil", lambda: stencil_tables(st)
                 ).value
-                y = stencil_graph_conv(
-                    st, x, kernel, n_terms, self.basis_kind, tables=tables,
-                    layout=self.layout,
-                )
+                npix_full = 12 * st.nside * st.nside
+                if M != npix_full:
+                    # masked sky on the stencil path: embed the masked rows
+                    # into the full sphere (zeros outside — exact, see
+                    # graph.stencil.face_stencil), convolve, slice back.
+                    # Both directions are gathers (take), not scatters —
+                    # TPU executes takes at bandwidth, scatters serialize.
+                    def _embed_maps():
+                        ind = np.asarray(self.graph.indices, dtype=np.int64)
+                        inv = np.full(npix_full, M, dtype=np.int32)
+                        inv[ind] = np.arange(M, dtype=np.int32)
+                        return {"ind": ind.astype(np.int32), "inv": inv}
+
+                    emb = self.variable(
+                        "graph_tables", "mask_embed", _embed_maps
+                    ).value
+                    xpad = jnp.concatenate(
+                        [x, jnp.zeros((B, 1, Fin), x.dtype)], axis=1
+                    )
+                    xf = jnp.take(xpad, emb["inv"], axis=1)
+                    yf = stencil_graph_conv(
+                        st, xf, kernel, n_terms, self.basis_kind,
+                        tables=tables, layout="nest",
+                    )
+                    y = jnp.take(yf, emb["ind"], axis=1)
+                else:
+                    y = stencil_graph_conv(
+                        st, x, kernel, n_terms, self.basis_kind,
+                        tables=tables, layout=self.layout,
+                    )
             else:
                 idx_np, val_np = self.graph.ellpack(self._scale)
                 tables = self.variable(
@@ -347,7 +373,7 @@ class _GraphPolyConv(nn.Module):
         B, Fin, _, n, P_l = x.shape
         Fout = Fin if self.Fout is None else self.Fout
         n_terms = self.K + self._n_terms_offset
-        st = self.graph.face_stencil(self._scale, n_steps=n_terms - 1)
+        st = self.graph.deep_stencil(self._scale, n_terms)
         if st is None:
             raise ValueError("layout='cface' requires the deep stencil path")
 
@@ -496,7 +522,9 @@ class ResidualLayer(nn.Module):
                         **bn_kwargs,
                     )
                 conv_cls0 = _CONV_TYPES[self.layer_type]
-                h = self.layer_kwargs["K"] + conv_cls0._n_terms_offset - 1
+                n_terms0 = self.layer_kwargs["K"] + conv_cls0._n_terms_offset
+                # halo depth of the sublayers' cface geometry
+                h = self.graph.stencil_radius * (n_terms0 - 1)
                 return _CfaceBatchNorm(
                     off=h,
                     use_running_average=not training,

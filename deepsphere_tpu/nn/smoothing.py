@@ -40,6 +40,21 @@ class SmoothingOperator:
     constructor logic of the reference layer (fwhm/sigma handling,
     per-channel repetitions inference, disk cache) at
     ``healpy_layers.py:515-664``.
+
+    ``method`` selects the TPU execution form:
+
+    * ``"stencil"`` — the kernel is decomposed into ``m`` repetitions of a
+      narrow Gaussian (sigma/sqrt(m); Gaussian closure under convolution —
+      the same trick the reference uses for multi-scale channels,
+      ``healpy_layers.py:592-621``) whose 3-sigma support fits a
+      radius-<=4 face-grid ring template, and each repetition runs as a
+      structured stencil matvec — no gathers.  At nside=1024 with
+      arcmin-scale sigma the BallTree kernel reaches hundreds of
+      neighbors, i.e. hundreds of serialized full-map gathers on TPU;
+      this path replaces them with a handful of 81-tap stencils.
+    * ``"ellpack"`` — the reference-shaped fixed-width gather SpMV.
+    * ``"auto"`` (default) — stencil when the support is wide (> 32
+      neighbors) and the template applies, else ellpack.
     """
 
     def __init__(
@@ -53,7 +68,11 @@ class SmoothingOperator:
         arcmin=True,
         per_channel_repetitions=None,
         data_path=None,
+        method="auto",
     ):
+        self.method = method
+        self.stencil = None
+        self.stencil_reps = 1
         assert fwhm is not None or sigma is not None, "One of fwhm and sigma has to be specified"
         assert fwhm is None or sigma is None, "Only one of fwhm and sigma can be specified"
 
@@ -97,6 +116,33 @@ class SmoothingOperator:
         self.fwhm_arcmin = self.sigma_arcmin * np.sqrt(8 * np.log(2))
 
         self.n_indices = len(self.indices)
+
+        if self.method in ("auto", "stencil"):
+            # estimated BallTree support: pixel density x kernel disc area
+        # (the ellpack path serializes one gather pass per neighbor)
+            est_support = (
+                3.0 * self.nside**2
+                * (self.n_sigma_support * self.sigma_rad) ** 2
+            )
+            if self.method == "stencil" or est_support > 32:
+                self._build_stencil()
+        if self.stencil is not None:
+            import hashlib
+
+            self._key = (
+                "stencil", self.nside, self.n_indices,
+                round(self.sigma_arcmin, 10), n_sigma_support,
+                self.stencil_reps,
+                hashlib.sha1(
+                    np.ascontiguousarray(self.indices).tobytes()
+                ).hexdigest()[:16],
+            )
+            logger.info(
+                f"Smoothing runs as {self.stencil_reps} repetition(s) of a "
+                f"radius-{self.stencil.radius} stencil"
+            )
+            return
+
         file_label = f"-nside{self.nside}-sigma{self.sigma_arcmin:4.2f}-n_sigma{n_sigma_support}"
 
         idx = val = None
@@ -131,6 +177,87 @@ class SmoothingOperator:
             hashlib.sha1(np.ascontiguousarray(self.indices).tobytes()).hexdigest()[:16],
         )
         logger.info("Successfully created the smoothing kernel operator")
+
+    def _build_stencil(self):
+        """Decompose the Gaussian into ``m`` repetitions of a narrow
+        template kernel and extract it as a :class:`FaceStencil` —
+        smoothing then runs as structured stencil matvecs (no gathers)."""
+        from ..graph.stencil import face_stencil
+        from ..sphere.faces import face2nest_index, halo_map
+
+        nside = self.nside
+        npix = hp.nside2npix(nside)
+        spacing = hp.nside2resol(nside)  # radians, mean pixel scale
+        r_max = 4
+        m = max(
+            1,
+            int(np.ceil(
+                (self.n_sigma_support * self.sigma_rad / (r_max * spacing))
+                ** 2
+            )),
+        )
+        sig = self.sigma_rad / np.sqrt(m)
+        r = min(r_max, max(1, int(np.ceil(self.n_sigma_support * sig / spacing))))
+
+        hm = halo_map(nside, r)
+        offsets = [(dx, dy)
+                   for dx in range(-r, r + 1) for dy in range(-r, r + 1)
+                   if (dx, dy) != (0, 0)]
+        T = len(offsets)
+        nb_face = np.empty((npix, T), dtype=np.int64)
+        for t, (dx, dy) in enumerate(offsets):
+            nb_face[:, t] = hm[:, r + dx : r + dx + nside,
+                               r + dy : r + dy + nside].reshape(-1)
+        f2n = face2nest_index(nside)
+        nb = nb_face[f2n]  # NEST order
+
+        in_mask = np.zeros(npix, dtype=bool)
+        in_mask[self.indices] = True
+        valid = (nb >= 0) & in_mask[np.clip(nb, 0, npix - 1)]
+        valid &= in_mask[:, None]  # zero rows outside the mask
+
+        vec = hp.pix2vec(nside, np.arange(npix), nest=True)
+        w = np.zeros((npix, T), dtype=np.float64)
+        for t in range(T):
+            cj = np.clip(nb[:, t], 0, npix - 1)
+            chord2 = np.einsum("ij,ij->i", vec - vec[cj], vec - vec[cj])
+            ang = 2.0 * np.arcsin(np.sqrt(np.clip(chord2, 0, 4)) / 2.0)
+            wt = np.exp(-0.5 * (ang / sig) ** 2)
+            # reference truncation: keep support within n_sigma * sigma
+            wt = np.where(ang <= self.n_sigma_support * sig, wt, 0.0)
+            w[:, t] = np.where(valid[:, t], wt, 0.0)
+
+        # center tap (distance 0) + row normalization
+        own = np.arange(npix, dtype=np.int64)
+        center = in_mask.astype(np.float64)
+        rowsum = w.sum(axis=1) + center
+        rowsum[rowsum == 0.0] = 1.0
+        ell_idx = np.concatenate(
+            [np.where(valid, nb, own[:, None]), own[:, None]], axis=1
+        ).astype(np.int32)
+        ell_val = (
+            np.concatenate([w, center[:, None]], axis=1) / rowsum[:, None]
+        ).astype(np.float64)
+
+        class _EllGraph:
+            """Duck-typed graph carrying a prebuilt full-sphere template
+            ELLPACK into ``face_stencil`` (the row-normalized smoothing
+            matrix is not a Laplacian; scale is ignored)."""
+
+            def __init__(self, nside, k, ell):
+                self.nside = nside
+                self.k = k
+                self.indices = np.arange(12 * nside * nside)
+                self.n_pixels = 12 * nside * nside
+                self._ell = ell
+
+            def ellpack(self, scale):
+                return self._ell
+
+        k_of_r = {1: 8, 2: 20, 3: 40, 4: 60}
+        g = _EllGraph(nside, k_of_r[r], (ell_idx, ell_val))
+        self.stencil = face_stencil(g, 0.0, n_steps=r)
+        self.stencil_reps = m
 
     def _build_kernel(self):
         """BallTree haversine kNN within n_sigma_support * sigma, evaluated
@@ -174,30 +301,36 @@ class HealpySmoothing(nn.Module):
         if M != op.n_indices:
             raise ValueError(f"Input has {M} pixels, operator expects {op.n_indices}")
 
-        # kernel arrays ride the "graph_tables" collection: runtime args
-        # through jit, never HLO constants (O(M * support) at large nside)
-        tables = self.variable(
-            "graph_tables", "smoothing",
-            lambda: {"idx": op.ell_idx, "val": op.ell_val},
-        ).value
-        idx = tables["idx"]
-        val = tables["val"].astype(x.dtype)
-        x2d = jnp.transpose(x, (1, 0, 2))  # (M, B, C)
-
         reps = op.per_channel_repetitions
-        if reps is None:
-            y2d = ellpack_spmv(idx, val, x2d.reshape(M, B * C)).reshape(M, B, C)
-        else:
+        if reps is not None:
             assert len(reps) == C, f"per_channel_repetitions has to have length {C}"
-            chans = []
-            for c in range(C):
-                xc = x2d[:, :, c]
-                for _ in range(int(reps[c])):
-                    xc = ellpack_spmv(idx, val, xc)
-                chans.append(xc)
-            y2d = jnp.stack(chans, axis=2)
 
-        y = jnp.transpose(y2d, (1, 0, 2))
+        if op.stencil is not None:
+            y = self._apply_stencil(op, x, reps)
+        else:
+            # kernel arrays ride the "graph_tables" collection: runtime args
+            # through jit, never HLO constants (O(M*support) at large nside)
+            tables = self.variable(
+                "graph_tables", "smoothing",
+                lambda: {"idx": op.ell_idx, "val": op.ell_val},
+            ).value
+            idx = tables["idx"]
+            val = tables["val"].astype(x.dtype)
+            x2d = jnp.transpose(x, (1, 0, 2))  # (M, B, C)
+
+            if reps is None:
+                y2d = ellpack_spmv(
+                    idx, val, x2d.reshape(M, B * C)
+                ).reshape(M, B, C)
+            else:
+                chans = []
+                for c in range(C):
+                    xc = x2d[:, :, c]
+                    for _ in range(int(reps[c])):
+                        xc = ellpack_spmv(idx, val, xc)
+                    chans.append(xc)
+                y2d = jnp.stack(chans, axis=2)
+            y = jnp.transpose(y2d, (1, 0, 2))
         if self.mask is not None:
             mask = jnp.asarray(self.mask, dtype=x.dtype)
             if mask.ndim == 1:
@@ -206,3 +339,53 @@ class HealpySmoothing(nn.Module):
                 mask = mask[None]
             y = y * mask
         return y
+
+    def _apply_stencil(self, op, x, reps):
+        """Structured path: m repetitions of the narrow template stencil in
+        face layout (masked rows embedded via take, never scatter)."""
+        from ..ops.stencil import stencil_matvec, stencil_tables
+
+        st = op.stencil
+        n = st.nside
+        npix = 12 * n * n
+        B, M, C = x.shape
+
+        def _tbl():
+            t = stencil_tables(st)
+            if M != npix:
+                ind = np.asarray(op.indices, dtype=np.int64)
+                inv = np.full(npix, M, dtype=np.int32)
+                inv[ind] = np.arange(M, dtype=np.int32)
+                t["mask_ind"] = ind.astype(np.int32)
+                t["mask_inv"] = inv
+            return t
+
+        tables = self.variable(
+            "graph_tables", "smoothing_stencil", _tbl
+        ).value
+        x2d = jnp.transpose(x, (1, 0, 2)).reshape(M, B * C)
+        if M != npix:
+            xpad = jnp.concatenate(
+                [x2d, jnp.zeros((1, B * C), x2d.dtype)], axis=0
+            )
+            x2d = jnp.take(xpad, tables["mask_inv"], axis=0)
+        xf = jnp.take(x2d, tables["n2f"], axis=0).reshape(12, n, n, B * C)
+
+        base = int(op.stencil_reps)
+        if reps is None:
+            for _ in range(base):
+                xf = stencil_matvec(st, tables, xf)
+            yflat = xf.reshape(npix, B * C)
+        else:
+            xc4 = xf.reshape(12, n, n, B, C)
+            chans = []
+            for c in range(C):
+                fc = xc4[..., c]
+                for _ in range(base * int(reps[c])):
+                    fc = stencil_matvec(st, tables, fc)
+                chans.append(fc)
+            yflat = jnp.stack(chans, axis=-1).reshape(npix, B * C)
+        y2d = jnp.take(yflat, tables["f2n"], axis=0)
+        if M != npix:
+            y2d = jnp.take(y2d, tables["mask_ind"], axis=0)
+        return jnp.transpose(y2d.reshape(M, B, C), (1, 0, 2))

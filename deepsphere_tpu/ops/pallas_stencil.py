@@ -59,7 +59,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import config
-from ..graph.stencil import STENCIL_OFFSETS, FaceStencil
+from ..graph.stencil import FaceStencil
 
 __all__ = [
     "fused_stencil_conv",
@@ -68,8 +68,6 @@ __all__ = [
     "fused_available",
     "cfp_geometry",
 ]
-
-_OFFS8 = STENCIL_OFFSETS[:8]
 
 
 def _round_up(x, m):
@@ -84,14 +82,14 @@ def cfp_structural_available(st: FaceStencil, kind, n_terms):
         return False
     if kind not in ("cheby", "mono"):
         return False
-    n_steps = n_terms - 1
-    if n_steps < 1:
+    if n_terms < 2:
         return False
+    h = getattr(st, "radius", 1) * (n_terms - 1)  # halo depth
     # window DMA pieces need 8-aligned row slices: n must be a multiple of
     # 8 and at least the R = roundup(h, 8) window margin
-    if st.nside % 8 or st.nside < _round_up(n_steps, 8):
+    if st.nside % 8 or st.nside < _round_up(h, 8):
         return False
-    return st.n_steps == n_steps
+    return st.n_steps == h
 
 
 def fused_available(st: FaceStencil, kind, n_terms):
@@ -108,7 +106,7 @@ def cfp_geometry(n, h):
     return _round_up(h, 8), _round_up(n + 2 * h, 128)
 
 
-def _pick_band(n, R, P, C, cout):
+def _pick_band(n, R, P, C, cout, nplanes=9):
     """Row-band height Tr: the largest power-of-two band whose working set
     (recursion state + weight planes + accumulators + pipeline buffers)
     fits the VMEM budget."""
@@ -119,7 +117,7 @@ def _pick_band(n, R, P, C, cout):
         Sd = Tr + 2 * R
         est = 4 * (
             6 * C * Sd * P  # recursion state (prev2/prev1/t) + roll temps
-            + 2 * (C + 9) * Sd * P  # double-buffered band scratch
+            + 2 * (C + nplanes) * Sd * P  # double-buffered band scratch
             + 4 * C * Sd * 128  # double-buffered lane-strip scratch
             + cout * Tr * P  # AXPY accumulators
             + 2 * cout * Tr * P  # double-buffered output block
@@ -140,7 +138,7 @@ def _band_geometry(st, C, cout):
     n = st.nside
     h = st.n_steps
     R, P = cfp_geometry(n, h)
-    Tr = _pick_band(n, R, P, C, cout)
+    Tr = _pick_band(n, R, P, C, cout, nplanes=len(st.offsets))
     Sd = Tr + 2 * R
     return n, h, R, P, Tr, Sd
 
@@ -275,21 +273,26 @@ def _assemble_window(n, h, R, Tr, Sd, P,
     return slot
 
 
-def _term_stream(kind, K, Sr, P, w, x0):
+def _term_stream(kind, K, Sr, P, w, x0, radius=1):
     """Yield the K recursion terms on a full-size (C, Sr, P) band window.
 
-    Every term is full-size: the nine taps are fixed ±1 circular shifts
-    (``pltpu.roll``), so wrap-around garbage creeps in one row/lane per
-    step from the window border.  Callers only consume the (R, h)-offset
-    center, which stays exact for all k <= h = K-1.
+    Every term is full-size: the (2r+1)^2 taps are fixed circular shifts
+    (``pltpu.roll``), so wrap-around garbage creeps in ``radius``
+    rows/lanes per step from the window border.  Callers only consume the
+    (R, h)-offset center, which stays exact for all steps (h = r*(K-1)).
     """
+    from ..graph.stencil import stencil_offsets
+
+    offs = stencil_offsets(radius)
+    nc = len(offs) - 1  # center plane (last)
 
     def lap(p):
-        qm = pltpu.roll(p, 1, axis=2)  # p[.., j-1]
-        qp = pltpu.roll(p, P - 1, axis=2)  # p[.., j+1]
-        lanes = {-1: qm, 0: p, 1: qp}
-        t = w[8][None] * p
-        for d, (dx, dy) in enumerate(_OFFS8):
+        lanes = {0: p}
+        for dy in range(1, radius + 1):
+            lanes[-dy] = pltpu.roll(p, dy, axis=2)  # p[.., j-dy]
+            lanes[dy] = pltpu.roll(p, P - dy, axis=2)  # p[.., j+dy]
+        t = w[nc][None] * p
+        for d, (dx, dy) in enumerate(offs[:-1]):
             q = lanes[dy]
             if dx:
                 q = pltpu.roll(q, (Sr - dx) % Sr, axis=1)
@@ -306,15 +309,17 @@ def _term_stream(kind, K, Sr, P, w, x0):
         prev2, prev1 = prev1, t
 
 
-def _stencil_kernel(kind, K, n, h, R, Tr, Sd, P, C, Cout, B, Fin, Fout,
-                    wk_ref, xc_ref, w_ref, top_ref, bot_ref, lw_ref, le_ref,
-                    out_ref, xw, ww, ssw, sse, sems):
+def _stencil_kernel(kind, K, radius, contract, n, h, R, Tr, Sd, P, C, Cout,
+                    B, Fin, Fout, wk_ref, wkT_ref, xc_ref, w_ref, top_ref,
+                    bot_ref, lw_ref, le_ref, out_ref, xw, ww, ssw, sse,
+                    sems):
     """One (face, band) output tile.
 
-    xc_ref: (C, 12, n, P) activations in HBM; w_ref: (9, 12, n+2R, P)
+    xc_ref: (C, 12, n, P) activations in HBM; w_ref: (T2, 12, n+2R, P)
     wrapped-extended weight planes; top/bot_ref: (C, 12, R, P) row-halo
     strips; lw/le_ref: (C, 12, n, 128) lane-halo strips (h used lanes).
-    wk_ref: (K, Fin, Fout) scalar coefficients in SMEM.
+    wk_ref: (K, Fin, Fout) scalar coefficients in SMEM (axpy contraction);
+    wkT_ref: (K, Fout, Fin) in VMEM (dot contraction).
     out_ref: (Cout, 1, Tr, P) — full padded width, no final slice.
     """
     slot = _assemble_window(n, h, R, Tr, Sd, P, xc_ref, w_ref, top_ref,
@@ -326,7 +331,27 @@ def _stencil_kernel(kind, K, n, h, R, Tr, Sd, P, C, Cout, B, Fin, Fout,
     if kb_mode == "norecur":
         terms = [(k, x0) for k in range(K)]
     else:
-        terms = enumerate(_term_stream(kind, K, Sd, P, w, x0))
+        terms = enumerate(_term_stream(kind, K, Sd, P, w, x0, radius))
+
+    if contract == "dot" and kb_mode != "nocontract":
+        # per-(term, batch) MXU matmul (Fout, Fin) x (Fin, Tr*P): O(B*K)
+        # emitted ops instead of the O(B*Fin*Fout*K) scalar-AXPY unroll —
+        # the unroll count is also Mosaic COMPILE time, which explodes at
+        # realistic channel counts (quick_start: 4000 AXPYs per tile)
+        acc = None
+        for k, t in terms:
+            ctr = t[:, R : R + Tr, :]  # (C, Tr, P)
+            outs = []
+            for b in range(B):
+                ab = ctr[b * Fin : (b + 1) * Fin].reshape(Fin, Tr * P)
+                yb = jnp.dot(
+                    wkT_ref[k], ab, preferred_element_type=jnp.float32
+                )
+                outs.append(yb.reshape(Fout, Tr, P))
+            y = outs[0] if B == 1 else jnp.concatenate(outs, axis=0)
+            acc = y if acc is None else acc + y
+        out_ref[:, 0] = acc.astype(out_ref.dtype)
+        return
 
     acc = [None] * Cout
     for k, t in terms:
@@ -345,9 +370,9 @@ def _stencil_kernel(kind, K, n, h, R, Tr, Sd, P, C, Cout, B, Fin, Fout,
     out_ref[:, 0] = jnp.stack(acc, axis=0).astype(out_ref.dtype)
 
 
-def _grad_kernel(kind, K, n, h, R, Tr, Sd, P, C, Cout, B, Fin, Fout,
-                 xc_ref, w_ref, top_ref, bot_ref, lw_ref, le_ref, dy_ref,
-                 out_ref, xw, ww, ssw, sse, sems):
+def _grad_kernel(kind, K, radius, contract, n, h, R, Tr, Sd, P, C, Cout, B,
+                 Fin, Fout, xc_ref, w_ref, top_ref, bot_ref, lw_ref, le_ref,
+                 dy_ref, out_ref, xw, ww, ssw, sse, sems):
     """Accumulates dW[k, fi, fo] = sum_bands sum_b <T_k(x)[b, fi], dy[b, fo]>.
 
     dy_ref: (Cout, 1, Tr, P) block in the conv's native layout; its
@@ -364,21 +389,40 @@ def _grad_kernel(kind, K, n, h, R, Tr, Sd, P, C, Cout, B, Fin, Fout,
     interior = (lane >= h) & (lane < h + n)
     dy = jnp.where(interior[None], dy_ref[:, 0], 0.0)  # (Cout, Tr, P)
 
-    rows = []  # assembled as (K*Fin, Fout) — Mosaic rejects scalar stacks
-    for k, t in enumerate(_term_stream(kind, K, Sd, P, w, x0)):
-        ctr = t[:, R : R + Tr, :]  # (C, Tr, P)
-        for fi in range(Fin):
-            cells = []
-            for fo in range(Fout):
-                s = None
-                for b in range(B):
-                    c = jnp.sum(
-                        ctr[b * Fin + fi] * dy[b * Fout + fo], keepdims=True
-                    )
-                    s = c if s is None else s + c
-                cells.append(s)
-            rows.append(jnp.concatenate(cells, axis=1))
-    block = jnp.concatenate(rows, axis=0).astype(out_ref.dtype)
+    if contract == "dot":
+        # per-(term, batch) MXU contraction over the (Tr, P) plane:
+        # (Fin, Tr, P) x (Fout, Tr, P) -> (Fin, Fout)
+        blocks = []
+        for k, t in enumerate(_term_stream(kind, K, Sd, P, w, x0, radius)):
+            ctr = t[:, R : R + Tr, :]  # (C, Tr, P)
+            acc_k = None
+            for b in range(B):
+                g = jax.lax.dot_general(
+                    ctr[b * Fin : (b + 1) * Fin],
+                    dy[b * Fout : (b + 1) * Fout],
+                    (((1, 2), (1, 2)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc_k = g if acc_k is None else acc_k + g
+            blocks.append(acc_k)
+        block = jnp.concatenate(blocks, axis=0).astype(out_ref.dtype)
+    else:
+        rows = []  # assembled as (K*Fin, Fout) — Mosaic rejects scalar stacks
+        for k, t in enumerate(_term_stream(kind, K, Sd, P, w, x0, radius)):
+            ctr = t[:, R : R + Tr, :]  # (C, Tr, P)
+            for fi in range(Fin):
+                cells = []
+                for fo in range(Fout):
+                    s = None
+                    for b in range(B):
+                        c = jnp.sum(
+                            ctr[b * Fin + fi] * dy[b * Fout + fo],
+                            keepdims=True,
+                        )
+                        s = c if s is None else s + c
+                    cells.append(s)
+                rows.append(jnp.concatenate(cells, axis=1))
+        block = jnp.concatenate(rows, axis=0).astype(out_ref.dtype)
 
     @pl.when(first)
     def _():
@@ -436,14 +480,20 @@ def _run_stencil_kernel(st, kind, n_terms, xc, wext, strips, wk3, B,
     F = xc.shape[1]
     K, Fin, Fout = wk3.shape
     Cout = B * Fout
+    nplanes = len(st.offsets)
+    contract = config.resolve_contract(B * Fin * Fout * K)
+    wkT = jnp.transpose(wk3, (0, 2, 1))  # (K, Fout, Fin) for the dot path
     n, h, R, P, Tr, Sd = _band_geometry(st, C, Cout)
 
-    kernel = partial(_stencil_kernel, kind, K, n, h, R, Tr, Sd, P, C, Cout,
-                     B, Fin, Fout)
+    kernel = partial(_stencil_kernel, kind, K, st.radius, contract, n, h, R,
+                     Tr, Sd, P, C, Cout, B, Fin, Fout)
     return pl.pallas_call(
         kernel,
         grid=(F, n // Tr),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
         + [pl.BlockSpec(memory_space=pl.ANY)] * 6,
         out_specs=pl.BlockSpec(
             (Cout, 1, Tr, P), lambda f, i: (0, f, i, 0),
@@ -452,7 +502,7 @@ def _run_stencil_kernel(st, kind, n_terms, xc, wext, strips, wk3, B,
         out_shape=jax.ShapeDtypeStruct((Cout, F, n, P), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, C, Sd, P), jnp.float32),
-            pltpu.VMEM((2, 9, Sd, P), jnp.float32),
+            pltpu.VMEM((2, nplanes, Sd, P), jnp.float32),
             pltpu.VMEM((2, C, Sd, 128), jnp.float32),
             pltpu.VMEM((2, C, Sd, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 8)),
@@ -461,7 +511,7 @@ def _run_stencil_kernel(st, kind, n_terms, xc, wext, strips, wk3, B,
             vmem_limit_bytes=128 * 2**20,
         ),
         interpret=interpret,
-    )(wk3, xc, wext, *strips)
+    )(wk3, wkT, xc, wext, *strips)
 
 
 def _run_grad_kernel(st, kind, n_terms, xc, wext, strips, dy, B, Fin,
@@ -473,10 +523,12 @@ def _run_grad_kernel(st, kind, n_terms, xc, wext, strips, dy, B, Fin,
     Cout = dy.shape[0]
     Fout = Cout // B
     K = n_terms
+    nplanes = len(st.offsets)
+    contract = config.resolve_contract(B * Fin * Fout * K)
     n, h, R, P, Tr, Sd = _band_geometry(st, C, Cout)
 
-    kernel = partial(_grad_kernel, kind, K, n, h, R, Tr, Sd, P, C, Cout,
-                     B, Fin, Fout)
+    kernel = partial(_grad_kernel, kind, K, st.radius, contract, n, h, R,
+                     Tr, Sd, P, C, Cout, B, Fin, Fout)
     return pl.pallas_call(
         kernel,
         grid=(F, n // Tr),
@@ -493,7 +545,7 @@ def _run_grad_kernel(st, kind, n_terms, xc, wext, strips, dy, B, Fin,
         out_shape=jax.ShapeDtypeStruct((K * Fin, Fout), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, C, Sd, P), jnp.float32),
-            pltpu.VMEM((2, 9, Sd, P), jnp.float32),
+            pltpu.VMEM((2, nplanes, Sd, P), jnp.float32),
             pltpu.VMEM((2, C, Sd, 128), jnp.float32),
             pltpu.VMEM((2, C, Sd, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 8)),

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from scipy.special import comb
 
 from .. import config
-from ..graph.stencil import STENCIL_OFFSETS, FaceStencil
+from ..graph.stencil import FaceStencil
 
 __all__ = [
     "stencil_tables",
@@ -296,18 +296,20 @@ def pad_faces(st: FaceStencil, xf, tables):
 def stencil_matvec(st: FaceStencil, tables, xf):
     """One application of the rescaled Laplacian: y = L~ xf.
 
-    Exact for ``st.n_steps == 1`` stencils.
+    Exact for ``st.n_steps == st.radius`` stencils (one application).
 
     :param xf: (12, n, n, C) face-layout activations
     :return: (12, n, n, C)
     """
     n, s = st.nside, st.n_steps
+    offs = st.offsets
+    nc = len(offs) - 1  # center plane index (center is last)
     # weight planes: wrapped-extended layout — interior face rows at [0, n),
     # face col y at lane y + s
     w = tables["weights"][:, :, 0:n, s : s + n].astype(xf.dtype)
     xpad = pad_faces(st, xf, tables)
-    y = w[8][..., None] * xf
-    for d, (dx, dy) in enumerate(STENCIL_OFFSETS[:8]):
+    y = w[nc][..., None] * xf
+    for d, (dx, dy) in enumerate(offs[:-1]):
         sl = xpad[:, s + dx : s + dx + n, s + dy : s + dy + n, :]
         y = y + w[d][..., None] * sl
     return y

@@ -24,6 +24,26 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: interpret-mode Pallas / multi-minute tests (skipped by "
+        "default; run with DS_RUN_SLOW=1 or -m slow)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default runs skip @pytest.mark.slow so the suite stays under ~5 min
+    on this single-core box; DS_RUN_SLOW=1 (or an explicit -m selection)
+    runs everything."""
+    if os.environ.get("DS_RUN_SLOW") == "1" or config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(reason="slow (set DS_RUN_SLOW=1 or -m slow)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture()
 def rng():
     return np.random.RandomState(11)

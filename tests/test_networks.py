@@ -252,3 +252,41 @@ def test_fit_trains_on_trailing_partial_batch(rng):
     # donated buffers: the wrapper's variables are live and usable
     out = model(jnp.asarray(x[:4]))
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_smoothing_stencil_approximates_balltree(rng):
+    """The structured stencil smoothing (repeated narrow template kernels)
+    closely matches the reference-shaped BallTree/ELLPACK kernel — the
+    Gaussian-closure decomposition the reference itself uses for
+    multi-scale channels (healpy_layers.py:592-621)."""
+    import jax
+
+    from deepsphere_tpu.nn.smoothing import HealpySmoothing, SmoothingOperator
+
+    nside = 8
+    npix = hp.nside2npix(nside)
+    x = rng.normal(size=(1, npix, 1)).astype(np.float32)
+
+    op_ell = SmoothingOperator(nside=nside, indices=np.arange(npix),
+                               sigma=400.0, method="ellpack")
+    op_st = SmoothingOperator(nside=nside, indices=np.arange(npix),
+                              sigma=400.0, method="stencil")
+    assert op_ell.stencil is None and op_st.stencil is not None
+
+    ys = []
+    for op in (op_ell, op_st):
+        layer = HealpySmoothing(operator=op)
+        v = layer.init(jax.random.key(0), jnp.asarray(x))
+        ys.append(np.asarray(layer.apply(v, jnp.asarray(x))))
+    a, b = ys
+    # same smoothing scale: high correlation and small residual relative
+    # to the smoothed signal's spread (the paths differ in truncation)
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.98, corr
+    assert np.abs(a - b).max() < 0.35 * a.std(), (np.abs(a - b).max(), a.std())
+    # constants preserved on both paths
+    ones = jnp.ones((1, npix, 1), jnp.float32)
+    layer = HealpySmoothing(operator=op_st)
+    v = layer.init(jax.random.key(0), ones)
+    np.testing.assert_allclose(np.asarray(layer.apply(v, ones)), 1.0,
+                               atol=1e-5)

@@ -84,6 +84,7 @@ def test_fused_not_used_for_bernstein(graph):
     assert not fused_available(st, "bern", 4)
 
 
+@pytest.mark.slow
 def test_model_training_through_fused_path(rng, graph):
     """End-to-end: a model trains through the fused kernel (interpret)."""
     import deepsphere_tpu as ds
@@ -105,6 +106,7 @@ def test_model_training_through_fused_path(rng, graph):
     assert np.isfinite(h["loss"]).all()
 
 
+@pytest.mark.slow
 def test_fused_deep_halo_window_margin(rng):
     """K=10 (quick_start order): halo depth 9 needs the R=16 window margin
     path; nside=16 is the boundary case (nside == R)."""
@@ -124,3 +126,32 @@ def test_fused_deep_halo_window_margin(rng):
     g8 = build_sphere_graph(8, k=8, method="grid")
     st8 = g8.face_stencil(0.75, n_steps=K - 1)
     assert not fused_available(st8, "cheby", K)
+
+
+@pytest.mark.slow
+def test_dot_contraction_matches_axpy(rng, graph):
+    """The MXU matmul contraction (used at large B*Fin*Fout*K, where the
+    scalar-AXPY unroll would explode Mosaic compile time) is numerically
+    identical to the AXPY path — forward and both gradients."""
+    K, B, Fin, Fout = 4, 2, 3, 3
+    st = graph.face_stencil(0.75, n_steps=K - 1)
+    tables = {k: jnp.asarray(v) for k, v in stencil_tables(st).items()}
+    x = jnp.asarray(rng.normal(size=(B, graph.n_pixels, Fin)), jnp.float32)
+    kern = jnp.asarray(rng.normal(size=(Fin * K, Fout)), jnp.float32)
+
+    def loss(kern, x):
+        y = stencil_graph_conv(st, x, kern, K, "cheby", tables=tables)
+        return jnp.sum(jnp.sin(y)), y
+
+    outs = {}
+    for mode in ("axpy", "dot"):
+        cfg.set_contract_mode(mode)
+        try:
+            (l, y), (gk, gx) = jax.value_and_grad(
+                loss, argnums=(0, 1), has_aux=True
+            )(kern, x)
+            outs[mode] = (np.asarray(y), np.asarray(gk), np.asarray(gx))
+        finally:
+            cfg.set_contract_mode("auto")
+    for a, b in zip(outs["axpy"], outs["dot"]):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)

@@ -135,6 +135,7 @@ def test_dp_train_step_runs():
     assert np.isfinite(logs["loss"])
 
 
+@pytest.mark.slow
 def test_model_cface_sharded_matches_single_device(rng):
     """A full model assembled with a face-compatible ShardConfig routes its
     convs through the face-sharded FUSED conv (cface plan) and matches the
@@ -221,6 +222,7 @@ def test_model_cface_sharded_matches_single_device(rng):
         cfg_mod.set_use_pallas("auto")
 
 
+@pytest.mark.slow
 def test_face_sharded_cfp_conv_matches_unsharded(rng):
     """The face-sharded fused conv (edge-band all_gather + local kernel)
     matches the single-device conv exactly — forward and both gradients —

@@ -83,9 +83,67 @@ def test_stencil_rejects_knn_graph():
     assert g.face_stencil(0.75) is None
 
 
-def test_stencil_rejects_partial_sky():
+def test_stencil_rejects_partial_sky_knn():
+    """kNN masked graphs rewire boundary pixels to 2nd-ring neighbors —
+    not stencil-representable (the grid method is the fast path)."""
     g = build_sphere_graph(8, indices=np.arange(200), k=8, method="knn")
     assert g.face_stencil(0.75) is None
+
+
+def test_masked_grid_stencil_matches_ellpack(rng):
+    """Masked-sky grid graphs extract an EXACT stencil (zero rows outside
+    the mask): the embedded stencil matvec equals the local L~ @ x."""
+    from deepsphere_tpu.ops.stencil import stencil_matvec, stencil_tables
+    from deepsphere_tpu.sphere import healpix as hp
+    from deepsphere_tpu.sphere.indexing import extend_indices
+
+    nside = 8
+    npix = hp.nside2npix(nside)
+    vec = hp.pix2vec(nside, np.arange(npix), nest=True)
+    raw = np.flatnonzero(vec @ np.array([0.0, 0.0, 1.0]) > 0.35)  # polar cap
+    ind = extend_indices(raw, nside_in=nside, nside_out=nside // 2)
+    g = build_sphere_graph(nside, indices=ind, k=8, method="grid")
+    st = g.face_stencil(0.75)
+    assert st is not None
+
+    x = rng.normal(size=(len(ind), 3)).astype(np.float32)
+    y_ref = g.rescaled(0.75) @ x
+
+    xfull = np.zeros((npix, 3), np.float32)
+    xfull[ind] = x
+    tables = {k: jnp.asarray(v) for k, v in stencil_tables(st).items()}
+    xf = jnp.asarray(xfull)[tables["n2f"]].reshape(12, nside, nside, 3)
+    yf = stencil_matvec(st, tables, xf)
+    y = np.asarray(yf.reshape(-1, 3))[np.asarray(st.f2n)][ind]
+    np.testing.assert_allclose(y, y_ref, atol=1e-5)
+
+
+def test_masked_conv_layer_uses_stencil_and_matches_ellpack(rng):
+    """A ChebyshevConv on a masked grid graph routes through the stencil
+    path (embed -> conv -> slice) and matches the ELLPACK gather path."""
+    import deepsphere_tpu.nn.layers as L
+    from deepsphere_tpu.sphere import healpix as hp
+    from deepsphere_tpu.sphere.indexing import extend_indices
+
+    nside = 8
+    npix = hp.nside2npix(nside)
+    vec = hp.pix2vec(nside, np.arange(npix), nest=True)
+    raw = np.flatnonzero(vec @ np.array([1.0, 0.0, 0.0]) > 0.5)
+    ind = extend_indices(raw, nside_in=nside, nside_out=nside // 2)
+    g = build_sphere_graph(nside, indices=ind, k=8, method="grid")
+    assert g.face_stencil(0.75, n_steps=3) is not None
+
+    import jax
+
+    x = jnp.asarray(rng.normal(size=(2, len(ind), 2)), jnp.float32)
+    conv_st = L.ChebyshevConv(graph=g, K=4, Fout=3, conv_method="stencil")
+    conv_el = L.ChebyshevConv(graph=g, K=4, Fout=3, conv_method="ellpack")
+    v = conv_st.init(jax.random.key(0), x)
+    v_el = conv_el.init(jax.random.key(0), x)
+    v_el = {**v_el, "params": v["params"]}
+    y_st = np.asarray(conv_st.apply(v, x))
+    y_el = np.asarray(conv_el.apply(v_el, x))
+    np.testing.assert_allclose(y_st, y_el, atol=1e-4)
 
 
 @pytest.mark.parametrize(
@@ -334,3 +392,101 @@ def test_edge_strips_match_gather_tables(rng):
         np.testing.assert_allclose(np.asarray(east), gather("east"), atol=0)
         np.testing.assert_allclose(np.asarray(south), gather("south"), atol=0)
         np.testing.assert_allclose(np.asarray(north), gather("north"), atol=0)
+
+
+class TestRingStencil:
+    """k in {20, 40, 60}: ring-template ("grid") graphs extract radius-r
+    stencils, so the conv path stays structured instead of falling to the
+    ELLPACK gather path (the reference treats these k as first-class,
+    healpy_networks.py:39-42)."""
+
+    @pytest.mark.parametrize("k,r", [(20, 2), (40, 3)])
+    def test_ring_graph_builds_and_extracts(self, k, r):
+        g = build_sphere_graph(16, k=k, method="grid")
+        assert g.stencil_radius == r
+        st = g.face_stencil(0.75)
+        assert st is not None and st.radius == r and st.n_steps == r
+        # symmetric Laplacian, rows have <= k entries
+        g._materialize()
+        L = g.rescaled(0.75)
+        assert abs(L - L.T).max() < 1e-12
+
+    def test_ring_stencil_matvec_matches_ellpack(self, rng):
+        from deepsphere_tpu.ops.stencil import stencil_matvec, stencil_tables
+
+        nside, k = 16, 20
+        g = build_sphere_graph(nside, k=k, method="grid")
+        st = g.face_stencil(0.75)
+        x = rng.normal(size=(g.n_pixels, 3)).astype(np.float32)
+        y_ref = g.rescaled(0.75) @ x
+        tables = {kk: jnp.asarray(v) for kk, v in stencil_tables(st).items()}
+        xf = jnp.asarray(x)[tables["n2f"]].reshape(12, nside, nside, 3)
+        yf = stencil_matvec(st, tables, xf)
+        y = np.asarray(yf.reshape(-1, 3))[np.asarray(st.f2n)]
+        np.testing.assert_allclose(y, y_ref, atol=1e-5)
+
+    def test_ring_deep_stencil_conv_matches_ellpack(self, rng):
+        """Fused-geometry (deep) radius-2 stencil conv vs the gather path,
+        corrections active at the polar corners."""
+        import jax
+
+        import deepsphere_tpu.nn.layers as L
+
+        nside, k, K = 16, 20, 3
+        g = build_sphere_graph(nside, k=k, method="grid")
+        st = g.deep_stencil(0.75, K)
+        assert st is not None and st.n_steps == 4 and st.radius == 2
+        assert st.corr_src.shape[0] > 0  # polar corners under r=2
+
+        x = jnp.asarray(rng.normal(size=(2, g.n_pixels, 2)), jnp.float32)
+        conv_st = L.ChebyshevConv(graph=g, K=K, Fout=3, conv_method="stencil")
+        conv_el = L.ChebyshevConv(graph=g, K=K, Fout=3, conv_method="ellpack")
+        v = conv_st.init(jax.random.key(0), x)
+        v_el = conv_el.init(jax.random.key(0), x)
+        v_el = {**v_el, "params": v["params"]}
+        y_st = np.asarray(conv_st.apply(v, x))
+        y_el = np.asarray(conv_el.apply(v_el, x))
+        np.testing.assert_allclose(y_st, y_el, atol=1e-4)
+
+    @pytest.mark.slow
+    def test_ring_fused_pallas_matches_ellpack(self, rng):
+        """The fused Pallas kernel (interpret mode) on a radius-2 stencil:
+        forward + gradients against the gather path."""
+        import jax
+
+        import deepsphere_tpu.config as cfg
+        import deepsphere_tpu.nn.layers as L
+
+        cfg.set_use_pallas("on")
+        try:
+            nside, k, K = 16, 20, 3
+            g = build_sphere_graph(nside, k=k, method="grid")
+            x = jnp.asarray(rng.normal(size=(1, g.n_pixels, 2)), jnp.float32)
+            conv_st = L.ChebyshevConv(graph=g, K=K, Fout=2,
+                                      conv_method="stencil")
+            conv_el = L.ChebyshevConv(graph=g, K=K, Fout=2,
+                                      conv_method="ellpack")
+            v = conv_st.init(jax.random.key(0), x)
+            v_el = conv_el.init(jax.random.key(0), x)
+            v_el = {**v_el, "params": v["params"]}
+
+            y_st = np.asarray(jax.jit(conv_st.apply)(v, x))
+            y_el = np.asarray(jax.jit(conv_el.apply)(v_el, x))
+            np.testing.assert_allclose(y_st, y_el, atol=1e-4)
+
+            def loss(m, vv, p):
+                out = m.apply({**vv, "params": p}, x)
+                return jnp.sum(jnp.sin(out))
+
+            g_st = jax.jit(jax.grad(lambda p: loss(conv_st, v, p)))(
+                v["params"]
+            )
+            g_el = jax.jit(jax.grad(lambda p: loss(conv_el, v_el, p)))(
+                v_el["params"]
+            )
+            np.testing.assert_allclose(
+                np.asarray(g_st["kernel"]), np.asarray(g_el["kernel"]),
+                rtol=1e-4, atol=1e-4,
+            )
+        finally:
+            cfg.set_use_pallas("auto")
