@@ -19,7 +19,7 @@ materialization pass:
   width; every array in the hot loop is lane-tile aligned.
 * Cross-face halos are *structured edge copies* (see
   :func:`..sphere.faces.edge_descriptor` / :func:`.stencil.edge_strips`),
-  built per conv as four small strip arrays.  Row-halo strips enter the
+  built per conv as three small strip arrays.  Row-halo strips enter the
   window via aligned DMA pieces (DMA row slices must be 8-aligned in offset
   AND size — hence the R = roundup(h, 8) window margin, with tolerated
   garbage rows in the gap); lane-halo strips land via masked sub-lane
@@ -86,8 +86,10 @@ def cfp_structural_available(st: FaceStencil, kind, n_terms):
         return False
     h = getattr(st, "radius", 1) * (n_terms - 1)  # halo depth
     # window DMA pieces need 8-aligned row slices: n must be a multiple of
-    # 8 and at least the R = roundup(h, 8) window margin
-    if st.nside % 8 or st.nside < _round_up(h, 8):
+    # 8 and at least the R = roundup(h, 8) window margin; both lane-halo
+    # strips pack into one 128-lane DMA array (west at [0,h), east at
+    # [h,2h)), so 2h must fit a lane tile
+    if st.nside % 8 or st.nside < _round_up(h, 8) or 2 * h > 128:
         return False
     return st.n_steps == h
 
@@ -118,7 +120,7 @@ def _pick_band(n, R, P, C, cout, nplanes=9):
         est = 4 * (
             6 * C * Sd * P  # recursion state (prev2/prev1/t) + roll temps
             + 2 * (C + nplanes) * Sd * P  # double-buffered band scratch
-            + 4 * C * Sd * 128  # double-buffered lane-strip scratch
+            + 2 * C * Sd * 128  # double-buffered packed lane-strip scratch
             + cout * Tr * P  # AXPY accumulators
             + 2 * cout * Tr * P  # double-buffered output block
         )
@@ -144,8 +146,8 @@ def _band_geometry(st, C, cout):
 
 
 def _band_copies(n, h, R, Tr, Sd, P, f, i, slot,
-                 xc_ref, w_ref, top_ref, bot_ref, lw_ref, le_ref,
-                 xw2, ww2, ssw2, sse2, sems2, start):
+                 xc_ref, w_ref, top_ref, bot_ref, ls_ref,
+                 xw2, ww2, ss2, sems2, start):
     """Create and start (or wait on) the DMA pieces of band (f, i) into
     double-buffer slot ``slot``.
 
@@ -171,24 +173,23 @@ def _band_copies(n, h, R, Tr, Sd, P, f, i, slot,
                 xw2.at[slot, :, pl.ds(d0, size), :], 0),
             dma(w_ref.at[:, f, pl.ds(m0, size), :],
                 ww2.at[slot, :, pl.ds(d0, size), :], 1),
-            # lane-halo strips for the interior-face rows of the window
-            dma(lw_ref.at[:, f, pl.ds(m0, size), :],
-                ssw2.at[slot, :, pl.ds(d0, size), :], 2),
-            dma(le_ref.at[:, f, pl.ds(m0, size), :],
-                sse2.at[slot, :, pl.ds(d0, size), :], 3),
+            # lane-halo strips (west at lanes [0,h), east at [h,2h)) for
+            # the interior-face rows of the window — one packed DMA
+            dma(ls_ref.at[:, f, pl.ds(m0, size), :],
+                ss2.at[slot, :, pl.ds(d0, size), :], 2),
         ]
 
     def top():
         return [
-            dma(top_ref.at[:, f], xw2.at[slot, :, 0:R, :], 4),
-            dma(w_ref.at[:, f, pl.ds(n, R), :], ww2.at[slot, :, 0:R, :], 5),
+            dma(top_ref.at[:, f], xw2.at[slot, :, 0:R, :], 3),
+            dma(w_ref.at[:, f, pl.ds(n, R), :], ww2.at[slot, :, 0:R, :], 4),
         ]
 
     def bot():
         return [
-            dma(bot_ref.at[:, f], xw2.at[slot, :, pl.ds(Sd - R, R), :], 6),
+            dma(bot_ref.at[:, f], xw2.at[slot, :, pl.ds(Sd - R, R), :], 5),
             dma(w_ref.at[:, f, pl.ds(n + R, R), :],
-                ww2.at[slot, :, pl.ds(Sd - R, R), :], 7),
+                ww2.at[slot, :, pl.ds(Sd - R, R), :], 6),
         ]
 
     if nbands == 1:
@@ -211,8 +212,8 @@ def _band_copies(n, h, R, Tr, Sd, P, f, i, slot,
 
 
 def _assemble_window(n, h, R, Tr, Sd, P,
-                     xc_ref, w_ref, top_ref, bot_ref, lw_ref, le_ref,
-                     xw2, ww2, ssw2, sse2, sems2):
+                     xc_ref, w_ref, top_ref, bot_ref, ls_ref,
+                     xw2, ww2, ss2, sems2):
     """Double-buffered window assembly: prefetch the next band's DMA into
     the other slot before waiting on this band's, so the HBM traffic of
     band k+1 overlaps the recursion compute of band k.  Returns the slot
@@ -223,8 +224,8 @@ def _assemble_window(n, h, R, Tr, Sd, P,
     step = f * nbands + i
     slot = jax.lax.rem(step, 2)
     geo = (n, h, R, Tr, Sd, P)
-    refs = (xc_ref, w_ref, top_ref, bot_ref, lw_ref, le_ref,
-            xw2, ww2, ssw2, sse2, sems2)
+    refs = (xc_ref, w_ref, top_ref, bot_ref, ls_ref,
+            xw2, ww2, ss2, sems2)
 
     @pl.when(step == 0)
     def _():
@@ -241,35 +242,33 @@ def _assemble_window(n, h, R, Tr, Sd, P,
 
     _band_copies(*geo, f, i, slot, *refs, start=False)
 
-    # masked sub-lane stores: lane halos for interior-face window rows.
-    # For edge bands the non-interior rows got full-width strip data from
-    # top()/bot(), and the ssw/sse scratch rows there are stale — restrict
-    # the store to the interior-face row range.
+    # masked sub-lane stores: lane halos for interior-face window rows
+    # (west strip at packed lanes [0,h), east at [h,2h)).  For edge bands
+    # the non-interior rows got full-width strip data from top()/bot(),
+    # and the ss scratch rows there are stale — restrict the store to the
+    # interior-face row range.
     if config.kernel_bisect() == "nolanestore":  # dev-only bisection
         return slot
+
+    def store(r0, r1):
+        xw2[slot, :, r0:r1, 0:h] = ss2[slot, :, r0:r1, 0:h]
+        xw2[slot, :, r0:r1, h + n : h + n + h] = ss2[slot, :, r0:r1, h:2 * h]
+
     if nbands == 1:
-        xw2[slot, :, R : R + n, 0:h] = ssw2[slot, :, R : R + n, 0:h]
-        xw2[slot, :, R : R + n, h + n : h + n + h] = (
-            sse2[slot, :, R : R + n, 0:h]
-        )
+        store(R, R + n)
     else:
         @pl.when(i == 0)
         def _():
-            xw2[slot, :, R:Sd, 0:h] = ssw2[slot, :, R:Sd, 0:h]
-            xw2[slot, :, R:Sd, h + n : h + n + h] = sse2[slot, :, R:Sd, 0:h]
+            store(R, Sd)
 
         @pl.when(i == nbands - 1)
         def _():
-            xw2[slot, :, 0 : Sd - R, 0:h] = ssw2[slot, :, 0 : Sd - R, 0:h]
-            xw2[slot, :, 0 : Sd - R, h + n : h + n + h] = (
-                sse2[slot, :, 0 : Sd - R, 0:h]
-            )
+            store(0, Sd - R)
 
         if nbands > 2:
             @pl.when((i > 0) & (i < nbands - 1))
             def _():
-                xw2[slot, :, :, 0:h] = ssw2[slot, :, :, 0:h]
-                xw2[slot, :, :, h + n : h + n + h] = sse2[slot, :, :, 0:h]
+                store(0, Sd)
     return slot
 
 
@@ -311,19 +310,19 @@ def _term_stream(kind, K, Sr, P, w, x0, radius=1):
 
 def _stencil_kernel(kind, K, radius, contract, n, h, R, Tr, Sd, P, C, Cout,
                     B, Fin, Fout, wk_ref, wkT_ref, xc_ref, w_ref, top_ref,
-                    bot_ref, lw_ref, le_ref, out_ref, xw, ww, ssw, sse,
-                    sems):
+                    bot_ref, ls_ref, out_ref, xw, ww, ss, sems):
     """One (face, band) output tile.
 
     xc_ref: (C, 12, n, P) activations in HBM; w_ref: (T2, 12, n+2R, P)
     wrapped-extended weight planes; top/bot_ref: (C, 12, R, P) row-halo
-    strips; lw/le_ref: (C, 12, n, 128) lane-halo strips (h used lanes).
+    strips; ls_ref: (C, 12, n, 128) packed lane-halo strips (west at
+    lanes [0,h), east at [h,2h)).
     wk_ref: (K, Fin, Fout) scalar coefficients in SMEM (axpy contraction);
     wkT_ref: (K, Fout, Fin) in VMEM (dot contraction).
     out_ref: (Cout, 1, Tr, P) — full padded width, no final slice.
     """
     slot = _assemble_window(n, h, R, Tr, Sd, P, xc_ref, w_ref, top_ref,
-                            bot_ref, lw_ref, le_ref, xw, ww, ssw, sse, sems)
+                            bot_ref, ls_ref, xw, ww, ss, sems)
     x0 = xw[slot]
     w = ww[slot]
 
@@ -345,7 +344,8 @@ def _stencil_kernel(kind, K, radius, contract, n, h, R, Tr, Sd, P, C, Cout,
             for b in range(B):
                 ab = ctr[b * Fin : (b + 1) * Fin].reshape(Fin, Tr * P)
                 yb = jnp.dot(
-                    wkT_ref[k], ab, preferred_element_type=jnp.float32
+                    wkT_ref[k], ab, preferred_element_type=jnp.float32,
+                    precision=config.precision(),
                 )
                 outs.append(yb.reshape(Fout, Tr, P))
             y = outs[0] if B == 1 else jnp.concatenate(outs, axis=0)
@@ -371,8 +371,8 @@ def _stencil_kernel(kind, K, radius, contract, n, h, R, Tr, Sd, P, C, Cout,
 
 
 def _grad_kernel(kind, K, radius, contract, n, h, R, Tr, Sd, P, C, Cout, B,
-                 Fin, Fout, xc_ref, w_ref, top_ref, bot_ref, lw_ref, le_ref,
-                 dy_ref, out_ref, xw, ww, ssw, sse, sems):
+                 Fin, Fout, xc_ref, w_ref, top_ref, bot_ref, ls_ref,
+                 dy_ref, out_ref, xw, ww, ss, sems):
     """Accumulates dW[k, fi, fo] = sum_bands sum_b <T_k(x)[b, fi], dy[b, fo]>.
 
     dy_ref: (Cout, 1, Tr, P) block in the conv's native layout; its
@@ -380,7 +380,7 @@ def _grad_kernel(kind, K, radius, contract, n, h, R, Tr, Sd, P, C, Cout, B,
     out_ref: (K*Fin, Fout), shared across the (sequential) TPU grid.
     """
     slot = _assemble_window(n, h, R, Tr, Sd, P, xc_ref, w_ref, top_ref,
-                            bot_ref, lw_ref, le_ref, xw, ww, ssw, sse, sems)
+                            bot_ref, ls_ref, xw, ww, ss, sems)
     x0 = xw[slot]
     w = ww[slot]
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
@@ -390,18 +390,23 @@ def _grad_kernel(kind, K, radius, contract, n, h, R, Tr, Sd, P, C, Cout, B,
     dy = jnp.where(interior[None], dy_ref[:, 0], 0.0)  # (Cout, Tr, P)
 
     if contract == "dot":
-        # per-(term, batch) MXU contraction over the (Tr, P) plane:
-        # (Fin, Tr, P) x (Fout, Tr, P) -> (Fin, Fout)
+        # per-(term, batch) MXU contraction over the flattened (Tr*P)
+        # plane: (Fin, Tr*P) x (Fout, Tr*P) -> (Fin, Fout).  Contraction
+        # must be a SINGLE dim (Mosaic tpu.matmul rejects multi-dim
+        # contractions); the merge reshape is the same one the forward
+        # dot path uses.
+        dy2 = dy.reshape(Cout, Tr * P)
         blocks = []
         for k, t in enumerate(_term_stream(kind, K, Sd, P, w, x0, radius)):
-            ctr = t[:, R : R + Tr, :]  # (C, Tr, P)
+            ctr = t[:, R : R + Tr, :].reshape(C, Tr * P)
             acc_k = None
             for b in range(B):
                 g = jax.lax.dot_general(
                     ctr[b * Fin : (b + 1) * Fin],
-                    dy[b * Fout : (b + 1) * Fout],
-                    (((1, 2), (1, 2)), ((), ())),
+                    dy2[b * Fout : (b + 1) * Fout],
+                    (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=config.precision(),
                 )
                 acc_k = g if acc_k is None else acc_k + g
             blocks.append(acc_k)
@@ -438,8 +443,9 @@ def _strip_arrays(st, xc, faces=None, bands=None):
 
     Returns top/bot (C, F, R, P_l) row-halo pieces (strip rows positioned
     so a full R-row DMA drops the h real halo rows exactly against the
-    face edge, garbage elsewhere) and lw/le (C, F, n, 128) lane-halo
-    strips (h used lanes).  ``faces``/``bands`` support the face-sharded
+    face edge, garbage elsewhere) and ls (C, F, n, 128), the two
+    lane-halo strips packed into one DMA array (west at lanes [0,h),
+    east at [h,2h)).  ``faces``/``bands`` support the face-sharded
     conv: build strips only for ``faces``, sourcing neighbor data from
     the (all-gathered, full-sphere) edge ``bands``.
     """
@@ -462,9 +468,8 @@ def _strip_arrays(st, xc, faces=None, bands=None):
     ep = jnp.concatenate([east, zer(h, P_l - P0)], axis=3)
     top = jnp.concatenate([zer(R - h, P_l), wp], axis=2) if R > h else wp
     bot = jnp.concatenate([ep, zer(R - h, P_l)], axis=2) if R > h else ep
-    lw = jnp.concatenate([south, zer(n, 128 - h)], axis=3)
-    le = jnp.concatenate([north, zer(n, 128 - h)], axis=3)
-    return top, bot, lw, le
+    ls = jnp.concatenate([south, north, zer(n, 128 - 2 * h)], axis=3)
+    return top, bot, ls
 
 
 def _run_stencil_kernel(st, kind, n_terms, xc, wext, strips, wk3, B,
@@ -473,7 +478,7 @@ def _run_stencil_kernel(st, kind, n_terms, xc, wext, strips, wk3, B,
 
     xc: (C, F, n, P_l) (F = 12 faces, or a face shard); wext:
     (9, F, n+2R, P_l) wrapped-extended weight planes; strips:
-    (top, bot, lw, le).  wk3: (K, Fin, Fout).
+    (top, bot, ls).  wk3: (K, Fin, Fout).
     Returns (Cout, F, n, P_l) f32.
     """
     C = xc.shape[0]
@@ -494,7 +499,7 @@ def _run_stencil_kernel(st, kind, n_terms, xc, wext, strips, wk3, B,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
-        + [pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 5,
         out_specs=pl.BlockSpec(
             (Cout, 1, Tr, P), lambda f, i: (0, f, i, 0),
             memory_space=pltpu.VMEM,
@@ -504,8 +509,7 @@ def _run_stencil_kernel(st, kind, n_terms, xc, wext, strips, wk3, B,
             pltpu.VMEM((2, C, Sd, P), jnp.float32),
             pltpu.VMEM((2, nplanes, Sd, P), jnp.float32),
             pltpu.VMEM((2, C, Sd, 128), jnp.float32),
-            pltpu.VMEM((2, C, Sd, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 8)),
+            pltpu.SemaphoreType.DMA((2, 7)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 2**20,
@@ -532,7 +536,7 @@ def _run_grad_kernel(st, kind, n_terms, xc, wext, strips, dy, B, Fin,
     return pl.pallas_call(
         kernel,
         grid=(F, n // Tr),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5
         + [
             pl.BlockSpec(
                 (Cout, 1, Tr, P), lambda f, i: (0, f, i, 0),
@@ -547,8 +551,7 @@ def _run_grad_kernel(st, kind, n_terms, xc, wext, strips, dy, B, Fin,
             pltpu.VMEM((2, C, Sd, P), jnp.float32),
             pltpu.VMEM((2, nplanes, Sd, P), jnp.float32),
             pltpu.VMEM((2, C, Sd, 128), jnp.float32),
-            pltpu.VMEM((2, C, Sd, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 8)),
+            pltpu.SemaphoreType.DMA((2, 7)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 2**20,
@@ -759,7 +762,7 @@ def fused_stencil_conv_cfp(st: FaceStencil, tables, xc, kernel, n_terms,
     This is the zero-permutation hot path: input and output share the
     layout (C, 12, n, P_l) (face col y at lane y + h), so a chain of convs
     runs with no transposes and no halo-materialization passes at all —
-    cross-face halos are assembled in VMEM per band from four small strip
+    cross-face halos are assembled in VMEM per band from three small strip
     arrays.
 
     :param st: FaceStencil built with ``n_steps = n_terms - 1``

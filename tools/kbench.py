@@ -30,15 +30,20 @@ def timed(fn, *args, n_iters=20, chain=None):
     tunneled TPU, and full-array readback poisons timings)."""
     import jax
 
+    def readback(out):
+        leaf = jax.tree_util.tree_leaves(out)[-1]  # last: largest output
+        if leaf.ndim == 0:
+            np.asarray(leaf)
+        else:
+            np.asarray(leaf[(0,) * (leaf.ndim - 1) + (slice(0, 1),)])
+
     out = fn(*args)
     jax.block_until_ready(out)
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf[(0,) * (leaf.ndim - 1) + (slice(0, 1),)])
+    readback(out)
     t0 = time.time()
     for _ in range(n_iters):
         out = fn(*args) if chain is None else fn(*chain(args, out))
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf[(0,) * (leaf.ndim - 1) + (slice(0, 1),)])
+    readback(out)
     return (time.time() - t0) / n_iters
 
 

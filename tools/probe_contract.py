@@ -89,10 +89,11 @@ def main():
     for name, kern in [("axpy", kern_axpy), ("dot2d", kern_dot2d),
                        ("dotg3", kern_dotg3)]:
         try:
+            wk_space = pltpu.SMEM if name == "axpy" else pltpu.VMEM
             f = pl.pallas_call(
                 kern,
                 in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=wk_space),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                 ],
                 out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
