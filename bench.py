@@ -236,7 +236,9 @@ def main():
     extra["face_flat_step_ms"] = round(dt_f * 1e3, 2)
 
     # training step at the headline config: fwd + dx + dW through the fused
-    # conv's custom VJP (dx output chains the iterations; dW rides along)
+    # conv's custom VJP.  BOTH cotangents must feed the next iteration —
+    # returning dx alone lets XLA dead-code-eliminate the whole dW pass
+    # (which silently under-reported train_step_ms by ~18 ms in round 2)
     @jax.jit
     def train_like(tables, x5, kernel):
         def loss(x5, kernel):
@@ -245,10 +247,22 @@ def main():
             return jnp.sum(y * y)
 
         _, (dx, dk) = jax.value_and_grad(loss, argnums=(0, 1))(x5, kernel)
-        return dx
+        return dx, kernel - 1e-12 * dk
+
+    def _time_train(n_iters=10):
+        z, kz = train_like(st_tables, x5, kernel)
+        np.asarray(kz[0, 0])
+        for _ in range(3):
+            z, kz = train_like(st_tables, z, kz)
+        np.asarray(kz[0, 0])
+        t0 = time.time()
+        for _ in range(n_iters):
+            z, kz = train_like(st_tables, z, kz)
+        np.asarray(kz[0, 0])
+        return (time.time() - t0) / n_iters
 
     try:
-        dt_t = _time(train_like, st_tables, x5, kernel, n_iters=10)
+        dt_t = _time_train()
         extra["train_step_ms"] = round(dt_t * 1e3, 2)
         extra["train_over_fwd"] = round(dt_t / dt, 2)
     except Exception as e:
@@ -287,6 +301,45 @@ def main():
             extra["k20_maps_per_s"] = round(BATCH / dt20, 1)
         except Exception as e:
             extra["k20_error"] = str(e)[:160]
+
+    if os.environ.get("BENCH_SMOOTH", "1") == "1":
+        # Gaussian smoothing at the headline resolution (sigma = 10
+        # arcmin): the stencil-decomposition path (m repetitions of a
+        # radius-<=4 template; healpy_layers.py:510-853 semantics) —
+        # the BallTree/ELLPACK form would need hundreds of serialized
+        # gather passes here
+        try:
+            from deepsphere_tpu.nn.smoothing import (HealpySmoothing,
+                                                     SmoothingOperator)
+
+            op = SmoothingOperator(
+                nside=NSIDE, indices=np.arange(12 * NSIDE * NSIDE),
+                sigma=10.0, method="stencil",
+            )
+            lay = HealpySmoothing(operator=op)
+            xs = jnp.asarray(
+                np.random.RandomState(5).normal(
+                    size=(1, 12 * NSIDE * NSIDE, 1)
+                ), jnp.float32,
+            )
+            vs = lay.init(0, xs)
+            tbl = {k: jax.device_put(v) for k, v in vs.items()}
+
+            @jax.jit
+            def smooth(tbl, xs):
+                return lay.apply(tbl, xs)
+
+            ys = smooth(tbl, xs)
+            np.asarray(ys[0, 0, 0])
+            t0 = time.time()
+            for _ in range(5):
+                ys = smooth(tbl, ys)
+            np.asarray(ys[0, 0, 0])
+            extra["smooth_sigma10_ms"] = round((time.time() - t0) / 5 * 1e3, 2)
+            extra["smooth_reps"] = int(op.stencil_reps)
+            del xs, ys, tbl
+        except Exception as e:
+            extra["smooth_error"] = str(e)[:160]
 
     if os.environ.get("BENCH_GATHER_PATH", "1") == "1":
         # free the stencil-path buffers first: the gather path's basis

@@ -17,10 +17,16 @@ TPU-friendly padded arrays:
 Notes on parity: the exact edge weights of the pinned pygsp fork
 (``setup.cfg:20``) are not observable in this environment.  We follow the
 DeepSphere construction: k nearest neighbors by chord distance of the pixel
-center unit vectors, Gaussian weights ``exp(-d^2 / (2 sigma^2))`` with
-``sigma`` defaulting to the mean kNN distance, symmetrized by averaging, and
-the symmetric-normalized Laplacian ``I - D^-1/2 W D^-1/2``.  ``kernel_width``
-is exposed so users can reproduce any specific width table.
+center unit vectors, Gaussian weights ``exp(-d^2 / (2 sigma^2))``,
+symmetrized, and the symmetric-normalized Laplacian
+``I - D^-1/2 W D^-1/2``.  ``sigma`` defaults to the HARMONIC width table
+(``HARMONIC_WIDTH_RATIO``): per-(nside, k) widths re-derived with the
+construction the pygsp fork's tables came from (arXiv:2012.15000 §3 —
+pick the width whose Laplacian spectrum best aligns with the spherical
+harmonic multiplets; see ``tools/derive_widths.py`` for the derivation and
+its error numbers).  ``kernel_width`` is exposed so users can reproduce any
+specific width table, and ``kernel_width="mean"`` restores the legacy
+mean-neighbor-distance default.
 """
 
 from __future__ import annotations
@@ -41,10 +47,39 @@ __all__ = [
     "graph_from_laplacian",
     "rescale_laplacian",
     "lmax_bound",
+    "HARMONIC_WIDTH_RATIO",
+    "harmonic_width_ratio",
 ]
 
+#: Gaussian kernel width as a multiple of the mean neighbor distance,
+#: derived by ``tools/derive_widths.py``: golden-section search minimizing
+#: the within-multiplet dispersion of the Laplacian spectrum vs the
+#: spherical-harmonic plateaus (the equivariance-optimality construction of
+#: arXiv:2012.15000 §3, the same objective behind the pygsp fork's tuned
+#: width tables pinned by the reference at ``setup.cfg:20``).  The ratio is
+#: scale-free and converges as nside grows (pixel spacing ~ 1/nside), so
+#: nsides above the table reuse the largest tabulated entry.
+HARMONIC_WIDTH_RATIO = {
+    8: {4: 0.5879, 8: 0.5166, 16: 0.5054, 32: 0.5029},
+    20: {8: 0.4368, 16: 0.4036},
+    40: {8: 0.4632, 16: 0.4005},
+    60: {8: 0.5004, 16: 0.4005},
+}
 
-def _grid_adjacency(nside, indices, kernel_width=None):
+
+def harmonic_width_ratio(k, nside):
+    """Width/mean-distance ratio from :data:`HARMONIC_WIDTH_RATIO`, or
+    ``None`` when no table exists for this ``k``.  Uses the largest
+    tabulated nside at or below ``nside`` (the ratio converges from above as
+    nside grows), else the smallest tabulated entry."""
+    tab = HARMONIC_WIDTH_RATIO.get(k)
+    if not tab:
+        return None
+    below = [s for s in tab if s <= nside]
+    return tab[max(below)] if below else tab[min(tab)]
+
+
+def _grid_adjacency(nside, indices, kernel_width=None, width_ratio=None):
     """Gaussian-weighted adjacency from the NEST grid 8-neighbor structure
     (vectorized; O(M) — no tree queries).  This is the construction of the
     original DeepSphere (healpy ``get_all_neighbours``); it differs from the
@@ -72,7 +107,7 @@ def _grid_adjacency(nside, indices, kernel_width=None):
         d2[:, j] = np.einsum("ij,ij->i", diff, diff)
     valid = nb >= 0
     if kernel_width is None:
-        kernel_width = float(np.mean(np.sqrt(d2[valid])))
+        kernel_width = float(np.mean(np.sqrt(d2[valid]))) * (width_ratio or 1.0)
     w = np.where(valid, np.exp(-d2 / (2.0 * kernel_width**2)), 0.0)
 
     rows = np.repeat(np.arange(n, dtype=np.int64), 8)[valid.reshape(-1)]
@@ -92,7 +127,8 @@ def _grid_adjacency(nside, indices, kernel_width=None):
 GRID_RADIUS = {8: 1, 20: 2, 40: 3, 60: 4}
 
 
-def _grid_ring_adjacency(nside, indices, k, kernel_width=None):
+def _grid_ring_adjacency(nside, indices, k, kernel_width=None,
+                         width_ratio=None):
     """Gaussian-weighted adjacency with neighbors = the k nearest pixels
     inside the radius-r face-grid ring template (r = GRID_RADIUS[k]).
 
@@ -155,13 +191,14 @@ def _grid_ring_adjacency(nside, indices, k, kernel_width=None):
     S.eliminate_zeros()
     dist = S.data
     if kernel_width is None:
-        kernel_width = float(dist.mean()) if dist.size else 1.0
+        kernel_width = (float(dist.mean()) if dist.size else 1.0) \
+            * (width_ratio or 1.0)
     W = S.copy()
     W.data = np.exp(-(dist**2) / (2.0 * kernel_width**2))
     return W, kernel_width
 
 
-def _knn_adjacency(coords, k, kernel_width=None):
+def _knn_adjacency(coords, k, kernel_width=None, width_ratio=None):
     """Gaussian-weighted symmetric kNN adjacency from 3D unit vectors."""
     from sklearn.neighbors import NearestNeighbors
 
@@ -173,7 +210,7 @@ def _knn_adjacency(coords, k, kernel_width=None):
     idx = idx[:, 1:]
 
     if kernel_width is None:
-        kernel_width = float(np.mean(dist))
+        kernel_width = float(np.mean(dist)) * (width_ratio or 1.0)
     w = np.exp(-(dist**2) / (2.0 * kernel_width**2))
 
     rows = np.repeat(np.arange(n, dtype=np.int64), k_eff)
@@ -441,8 +478,12 @@ def build_sphere_graph(
     :param indices: 1d array of NEST pixel ids; defaults to the full sphere.
     :param k: number of neighbors (8, 20, 40 or 60 supported upstream).
     :param lap_type: "normalized" (default, parity) or "combinatorial".
-    :param kernel_width: Gaussian kernel width (chord distance); defaults to
-        the mean kNN distance of this graph.
+    :param kernel_width: Gaussian kernel width (chord distance).  Default
+        (``None``): the harmonic width table when one exists for this ``k``
+        (:data:`HARMONIC_WIDTH_RATIO` — the re-derivation of the pygsp
+        fork's tuned widths; ratio x mean neighbor distance), else the mean
+        neighbor distance.  Pass ``"mean"`` to force the mean-distance
+        width, or a float for an explicit width.
     :param cache_dir: optional directory to cache the built graph (npz),
         keyed by (nside, indices, k, lap_type, kernel_width) like the disk
         cache of the reference smoothing layer (``healpy_layers.py:652-662``).
@@ -456,10 +497,20 @@ def build_sphere_graph(
         indices = np.arange(hp.nside2npix(nside), dtype=np.int64)
     indices = np.asarray(indices, dtype=np.int64)
 
+    width_ratio = None
+    if kernel_width is None:
+        width_ratio = harmonic_width_ratio(k, nside)
+    elif isinstance(kernel_width, str):
+        if kernel_width != "mean":
+            raise ValueError(f"Unknown kernel_width mode: {kernel_width!r}")
+        kernel_width = None
+
     cache_path = None
     if cache_dir is not None:
         ih = hashlib.sha1(np.ascontiguousarray(indices).tobytes()).hexdigest()[:16]
-        kw = "auto" if kernel_width is None else f"{kernel_width:.8g}"
+        kw = (f"harm{width_ratio:.4g}" if width_ratio is not None
+              else "auto" if kernel_width is None
+              else f"{kernel_width:.8g}")
         cache_path = os.path.join(
             cache_dir,
             # v2: lmax now converged to machine precision (parity target)
@@ -504,7 +555,8 @@ def build_sphere_graph(
         if k != 8:
             # radius-r ring template construction (stencil-structured
             # analogue of the reference's k in {20,40,60} kNN graphs)
-            W, kw_used = _grid_ring_adjacency(nside, indices, k, kernel_width)
+            W, kw_used = _grid_ring_adjacency(nside, indices, k, kernel_width,
+                                              width_ratio)
             L = (_normalized_laplacian(W) if lap_type == "normalized"
                  else _combinatorial_laplacian(W))
             graph = SphereGraph(
@@ -531,7 +583,12 @@ def build_sphere_graph(
         if full_sphere and lap_type == "normalized" and native.available():
             # one-pass native build: neighbors + weights + normalized-L
             # ELLPACK + Lanczos lmax; csr matrices stay lazy
-            res = native.grid_laplacian(nside, kernel_width)
+            res = native.grid_laplacian(
+                nside,
+                -width_ratio if (kernel_width is None
+                                 and width_ratio is not None)
+                else kernel_width,
+            )
             graph = SphereGraph(
                 nside=nside, indices=indices, k=k, lap_type=lap_type,
                 kernel_width=res["kernel_width"],
@@ -553,10 +610,11 @@ def build_sphere_graph(
                 os.replace(tmp_path, cache_path)
                 logger.info(f"Cached sphere graph to {cache_path}")
             return graph
-        W, kw_used = _grid_adjacency(nside, indices, kernel_width)
+        W, kw_used = _grid_adjacency(nside, indices, kernel_width,
+                                     width_ratio)
     elif method == "knn":
         coords = hp.pix2vec(nside, indices, nest=True)
-        W, kw_used = _knn_adjacency(coords, k, kernel_width)
+        W, kw_used = _knn_adjacency(coords, k, kernel_width, width_ratio)
     else:
         raise ValueError(f"Unknown graph method: {method}")
     if lap_type == "normalized":

@@ -96,6 +96,10 @@ def neighbors_nest(nside):
 def grid_laplacian(nside, kernel_width=None, lanczos_iters=512):
     """One-pass grid-graph build.
 
+    :param kernel_width: Gaussian width; ``None`` selects the mean neighbor
+        distance, a NEGATIVE value selects ``|kernel_width|`` times the mean
+        neighbor distance (ratio mode — see
+        ``graph.laplacian.HARMONIC_WIDTH_RATIO``).
     :return: dict with ``nb`` (npix, 8) i64, ``w`` (npix, 8) f64 Gaussian
         adjacency, ``ell_idx``/``ell_val`` (npix, 9) direction-aligned
         UNSCALED normalized-Laplacian ELLPACK (slot 8 = unit diagonal),

@@ -203,7 +203,9 @@ void ds_neighbors_nest(i64 nside, i64* out) {
 //
 // Callers apply the reference rescale (utils.py:40-46) per scale as
 //   val_s = (2 scale / lmax) * val;  val_s[:, 8] -= 1.
-// kernel_width <= 0 selects the mean neighbor distance.  lmax is estimated
+// kernel_width == 0 selects the mean neighbor distance; kernel_width < 0
+// selects |kernel_width| * mean neighbor distance (ratio mode, used by the
+// harmonic width table in graph/laplacian.py).  lmax is estimated
 // with up to `lanczos_iters` double-precision Lanczos steps (Ritz-residual
 // stop at 1e-10 relative — the <1e-5 parity target needs lmax at machine
 // precision) and multiplied by 1.02.
@@ -234,7 +236,10 @@ void ds_grid_laplacian(i64 nside, double kernel_width,
             ++dist_cnt;
         }
     }
-    double kw = kernel_width > 0 ? kernel_width : dist_sum / (double)dist_cnt;
+    double mean_dist = dist_sum / (double)dist_cnt;
+    double kw = kernel_width > 0 ? kernel_width
+              : kernel_width < 0 ? -kernel_width * mean_dist
+                                 : mean_dist;
     params[0] = kw;
 
     // Gaussian weights + degrees

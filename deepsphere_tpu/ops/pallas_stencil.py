@@ -733,10 +733,13 @@ def _gather_corrections(st, dy):
 # ---------------------------------------------------------------------------
 
 
-def _forward_cfp(st, kind, n_terms, B, interpret, tables, xc, kernel):
+def _forward_cfp(st, kind, n_terms, B, interpret, tables, xc, kernel,
+                 strips=None):
     """xc: (C, 12, n, P_l) native layout (C = B*Fin, b-major) ->
     (Cout, 12, n, P_l).  Halo lanes of xc may be stale garbage — strips
-    are rebuilt from the interior every call."""
+    are rebuilt from the interior every call unless the caller passes
+    precomputed ``strips`` of this exact xc (the VJP shares the forward's
+    strips with the dW pass; strip assembly is several ms at nside=1024)."""
     C = xc.shape[0]
     Fin = C // B
     Fout = kernel.shape[-1]
@@ -745,7 +748,8 @@ def _forward_cfp(st, kind, n_terms, B, interpret, tables, xc, kernel):
         kernel.astype(jnp.float32).reshape(Fin, n_terms, Fout), (1, 0, 2)
     )  # (K, Fin, Fout)
     xc = xc.astype(jnp.float32)
-    strips = _strip_arrays(st, xc)
+    if strips is None:
+        strips = _strip_arrays(st, xc)
     wext = tables["weights"].astype(jnp.float32)  # (9, 12, n+2R, P_l)
     y = _run_stencil_kernel(st, kind, n_terms, xc, wext, strips, wk3, B,
                             interpret)
@@ -781,10 +785,14 @@ def fused_stencil_conv_cfp(st: FaceStencil, tables, xc, kernel, n_terms,
                             kernel)
 
     def fwd(tables, xc, kernel):
-        return conv(tables, xc, kernel), (tables, xc, kernel)
+        xcf = xc.astype(jnp.float32)
+        strips = _strip_arrays(st, xcf)
+        y = _forward_cfp(st, kind, n_terms, B, interpret, tables, xcf,
+                         kernel, strips=strips)
+        return y, (tables, xc, strips, kernel)
 
     def bwd(res, dy):
-        tables, xc, kernel = res
+        tables, xc, strips, kernel = res
         C = xc.shape[0]
         Fin = C // B
         Fout = kernel.shape[-1]
@@ -807,9 +815,9 @@ def fused_stencil_conv_cfp(st: FaceStencil, tables, xc, kernel, n_terms,
         dx = dx.astype(xc.dtype)
         dy_clean = _zero_corrections(st, dy) if has_corr else dy
 
-        # dW: per-term scalar contractions over the same band windows
+        # dW: per-term scalar contractions over the same band windows;
+        # strips come from the forward residuals (same xc)
         xcf = xc.astype(jnp.float32)
-        strips = _strip_arrays(st, xcf)
         wext = tables["weights"].astype(jnp.float32)
         dwk = _run_grad_kernel(
             st, kind, n_terms, xcf, wext, strips, dy_clean, B, Fin,

@@ -203,10 +203,13 @@ def _guarded_patch(st, y, y_fix, f_off, F_loc, zero=False):
 
 
 def _forward_sharded(st, kind, n_terms, B, axis_name, interpret,
-                     tables, xc, kernel):
+                     tables, xc, kernel, strips=None):
     """xc: (C_loc, F_loc, n, P_l) local shard -> (Cout_loc, F_loc, n, P_l).
 
-    B is the LOCAL batch (channel packing of this shard).
+    B is the LOCAL batch (channel packing of this shard).  ``strips``:
+    optional precomputed local strip tuple of this exact xc (the VJP
+    shares the forward's strips — and their all_gather — with the dW
+    pass).  Returns ``(y, strips)``.
     """
     n, h = st.nside, st.n_steps
     C = xc.shape[0]
@@ -222,18 +225,19 @@ def _forward_sharded(st, kind, n_terms, B, axis_name, interpret,
     f_idx = jax.lax.axis_index(axis_name)
     f_off = f_idx * F_loc
 
-    # the only activation communication: all_gather the thin edge bands
-    bands_local = extract_edge_bands(xc, n, h, embedded=True)
-    bands = tuple(
-        jax.lax.all_gather(b, axis_name, axis=1, tiled=True)
-        for b in bands_local
-    )
-    # strips for all faces (cheap, small), dynamic-sliced to the shard
-    strips_full = ps._strip_arrays(st, xc, faces=range(12), bands=bands)
-    strips = tuple(
-        jax.lax.dynamic_slice_in_dim(s, f_off, F_loc, axis=1)
-        for s in strips_full
-    )
+    if strips is None:
+        # the only activation communication: all_gather the thin edge bands
+        bands_local = extract_edge_bands(xc, n, h, embedded=True)
+        bands = tuple(
+            jax.lax.all_gather(b, axis_name, axis=1, tiled=True)
+            for b in bands_local
+        )
+        # strips for all faces (cheap, small), dynamic-sliced to the shard
+        strips_full = ps._strip_arrays(st, xc, faces=range(12), bands=bands)
+        strips = tuple(
+            jax.lax.dynamic_slice_in_dim(s, f_off, F_loc, axis=1)
+            for s in strips_full
+        )
     wext = tables["weights"].astype(jnp.float32)  # face-sharded by caller
     y = ps._run_stencil_kernel(
         st, kind, n_terms, xc, wext, strips, wk3, B, interpret
@@ -255,7 +259,7 @@ def _forward_sharded(st, kind, n_terms, B, axis_name, interpret,
             ).reshape(-1, B * Fout)
             acc = d if acc is None else acc + d
         y = _guarded_patch(st, y, acc, f_off, F_loc)
-    return y
+    return y, strips
 
 
 def face_sharded_cfp_conv(st: FaceStencil, tables, xc, kernel, n_terms, kind,
@@ -277,14 +281,18 @@ def face_sharded_cfp_conv(st: FaceStencil, tables, xc, kernel, n_terms, kind,
 
     @partial(jax.custom_vjp, nondiff_argnums=())
     def conv(tables, xc, kernel):
-        return _forward_sharded(st, kind, n_terms, B, axis_name, interpret,
+        y, _ = _forward_sharded(st, kind, n_terms, B, axis_name, interpret,
                                 tables, xc, kernel)
+        return y
 
     def fwd(tables, xc, kernel):
-        return conv(tables, xc, kernel), (tables, xc, kernel)
+        y, strips = _forward_sharded(st, kind, n_terms, B, axis_name,
+                                     interpret, tables,
+                                     xc.astype(jnp.float32), kernel)
+        return y, (tables, xc, strips, kernel)
 
     def bwd(res, dy):
-        tables, xc, kernel = res
+        tables, xc, strips, kernel = res
         C = xc.shape[0]
         F_loc = xc.shape[1]
         Fin = C // B
@@ -300,8 +308,9 @@ def face_sharded_cfp_conv(st: FaceStencil, tables, xc, kernel, n_terms, kind,
             .transpose(2, 1, 0)
             .reshape(Fout * n_terms, Fin)
         )
-        dx = _forward_sharded(st, kind, n_terms, B, axis_name, interpret,
-                              tables, dy, kernel_t).astype(xc.dtype)
+        dx, _ = _forward_sharded(st, kind, n_terms, B, axis_name, interpret,
+                                 tables, dy, kernel_t)
+        dx = dx.astype(xc.dtype)
 
         # dW: local band contractions + psum over the face axis; corrupt
         # rows contribute through the exact ball basis
@@ -311,15 +320,7 @@ def face_sharded_cfp_conv(st: FaceStencil, tables, xc, kernel, n_terms, kind,
             _guarded_patch(st, dy, None, f_off, F_loc, zero=True)
             if has_corr else dy
         )
-        bands = tuple(
-            jax.lax.all_gather(b, axis_name, axis=1, tiled=True)
-            for b in extract_edge_bands(xcf, n, h, embedded=True)
-        )
-        strips_full = ps._strip_arrays(st, xcf, faces=range(12), bands=bands)
-        strips = tuple(
-            jax.lax.dynamic_slice_in_dim(s, f_off, F_loc, axis=1)
-            for s in strips_full
-        )
+        # strips (and their all_gather) come from the forward residuals
         wext = tables["weights"].astype(jnp.float32)
         dwk = ps._run_grad_kernel(
             st, kind, n_terms, xcf, wext, strips, dy_clean, B, Fin, interpret

@@ -100,3 +100,49 @@ def test_rescale_matches_reference_formula(rng):
     got = rescale_laplacian(L, lmax, scale).toarray()
     want = L.toarray() * (2 * scale / lmax) - np.eye(6)
     assert np.allclose(got, want)
+
+
+def test_harmonic_width_default():
+    """Default kernel_width follows the harmonic width table (re-derivation
+    of the pygsp fork's tuned per-(nside, k) widths, setup.cfg:20 /
+    arXiv:2012.15000 §3): width = ratio * mean neighbor distance, and the
+    Laplacian spectrum aligns with the spherical-harmonic multiplets
+    strictly better than with the legacy mean-distance width."""
+    from deepsphere_tpu.graph.laplacian import harmonic_width_ratio
+
+    nside = 8
+    g_harm = build_sphere_graph(nside, k=8, method="grid")
+    g_mean = build_sphere_graph(nside, k=8, method="grid",
+                                kernel_width="mean")
+    ratio = harmonic_width_ratio(8, nside)
+    assert ratio == pytest.approx(0.5166)
+    assert g_harm.kernel_width == pytest.approx(ratio * g_mean.kernel_width,
+                                                rel=1e-12)
+    # table lookup: above-table nsides reuse the largest tabulated ratio
+    assert harmonic_width_ratio(8, 1024) == pytest.approx(0.5029)
+    assert harmonic_width_ratio(7, 64) is None
+
+    def multiplet_dispersion(L, lmax_fit=10):
+        lam = np.linalg.eigvalsh(L.toarray())
+        err, pos = 0.0, 1
+        for l in range(1, lmax_fit + 1):
+            grp = lam[pos : pos + 2 * l + 1]
+            pos += 2 * l + 1
+            err += grp.std() / grp.mean()
+        return err / lmax_fit
+
+    g_harm._materialize()
+    g_mean._materialize()
+    assert multiplet_dispersion(g_harm.L) < 0.6 * multiplet_dispersion(g_mean.L)
+
+
+def test_harmonic_width_native_and_numpy_agree():
+    """The native (C++) ratio-mode build must produce the same width as the
+    numpy path (negative-kernel_width ABI convention)."""
+    from deepsphere_tpu import native
+
+    if not native.available():
+        pytest.skip("native core unavailable")
+    res = native.grid_laplacian(8, -0.5166)
+    g = build_sphere_graph(8, k=8, method="grid")
+    assert res["kernel_width"] == pytest.approx(g.kernel_width, rel=1e-12)

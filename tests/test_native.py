@@ -70,7 +70,8 @@ def test_native_graph_end_to_end(rng):
     assert g_nat._ell_L is not None  # native path engaged
 
     # numpy-built twin
-    W, kw = gl._grid_adjacency(nside, np.arange(hp.nside2npix(nside)))
+    W, kw = gl._grid_adjacency(nside, np.arange(hp.nside2npix(nside)),
+                               width_ratio=gl.harmonic_width_ratio(8, nside))
     L = gl._normalized_laplacian(W)
     g_py = gl.graph_from_laplacian(L, A=W, lmax=g_nat.lmax, nside=nside, k=8)
 
