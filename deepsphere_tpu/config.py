@@ -69,6 +69,20 @@ def resolve_contract(unroll: int) -> str:
     return "axpy" if unroll <= contract_dot_min_unroll else "dot"
 
 
+# Fused dx+dW backward: compute the kernel cotangent inside the dx band
+# pass (adjoint trick — L~ symmetric, so dW = <x, T_k(L~) dy> over the
+# recursion terms the dx pass already holds in VMEM).  Saves the separate
+# dW kernel's duplicate recursion + band/strip traffic (~18 ms/step at
+# nside=1024).  Off = the two-kernel reference path (kept for debugging
+# and for A/B numerics checks).
+fused_dw: bool = True
+
+
+def set_fused_dw(on: bool):
+    global fused_dw
+    fused_dw = bool(on)
+
+
 # Kernel-cost bisection hooks (dev only).  The fused kernel consults
 # ``kernel_bisect()`` to optionally skip its recursion / contraction /
 # lane-store stages when measuring where time goes (tools/kbench.py).  The

@@ -108,10 +108,12 @@ def cfp_geometry(n, h):
     return _round_up(h, 8), _round_up(n + 2 * h, 128)
 
 
-def _pick_band(n, R, P, C, cout, nplanes=9):
+def _pick_band(n, R, P, C, cout, nplanes=9, io_blocks=2):
     """Row-band height Tr: the largest power-of-two band whose working set
     (recursion state + weight planes + accumulators + pipeline buffers)
-    fits the VMEM budget."""
+    fits the VMEM budget.  ``io_blocks``: number of double-buffered
+    (cout, Tr, P) pipeline blocks (2 = output only; the fused dx+dW kernel
+    adds a double-buffered x input block -> 4)."""
     budget = int(os.environ.get("DS_PALLAS_VMEM_MB", "96")) * 2**20
     for Tr in (512, 256, 128, 64, 32, 16, 8):
         if Tr > n or n % Tr or Tr < R:
@@ -122,7 +124,7 @@ def _pick_band(n, R, P, C, cout, nplanes=9):
             + 2 * (C + nplanes) * Sd * P  # double-buffered band scratch
             + 2 * C * Sd * 128  # double-buffered packed lane-strip scratch
             + cout * Tr * P  # AXPY accumulators
-            + 2 * cout * Tr * P  # double-buffered output block
+            + io_blocks * cout * Tr * P  # double-buffered in/out blocks
         )
         if est <= budget:
             return Tr
@@ -136,11 +138,12 @@ def _pick_band(n, R, P, C, cout, nplanes=9):
     return n
 
 
-def _band_geometry(st, C, cout):
+def _band_geometry(st, C, cout, io_blocks=2):
     n = st.nside
     h = st.n_steps
     R, P = cfp_geometry(n, h)
-    Tr = _pick_band(n, R, P, C, cout, nplanes=len(st.offsets))
+    Tr = _pick_band(n, R, P, C, cout, nplanes=len(st.offsets),
+                    io_blocks=io_blocks)
     Sd = Tr + 2 * R
     return n, h, R, P, Tr, Sd
 
@@ -438,6 +441,100 @@ def _grad_kernel(kind, K, radius, contract, n, h, R, Tr, Sd, P, C, Cout, B,
         out_ref[...] = out_ref[...] + block
 
 
+def _dxdw_kernel(kind, K, radius, contract, n, h, R, Tr, Sd, P, C, Cout,
+                 B, Fin, Fout, wk_ref, wkT_ref, xc_ref, w_ref, top_ref,
+                 bot_ref, ls_ref, xr_ref, out_ref, dw_ref, xw, ww, ss, sems):
+    """dx AND dW in one band pass over dy (the adjoint trick: L~ is
+    symmetric, so dW[k] = <T_k(L~) x, dy> = <x, T_k(L~) dy> — the same
+    recursion terms this dx pass already materializes in VMEM.  The
+    separate dW kernel's duplicate recursion over x, and its band/strip
+    traffic, disappear from the training step entirely).
+
+    Invoked with swapped channel roles relative to the forward: xc_ref is
+    dy (C = B*Fout_orig recursion channels, Fin = Fout_orig,
+    Fout = Fin_orig), out_ref is the dx block.  xr_ref: (Cout, 1, Tr, P)
+    block of the forward input x (corrupt rows pre-zeroed by the caller);
+    its non-interior lanes are masked here so halo/pad garbage cannot
+    leak into dW.  dw_ref: (K*Fout, Fin) = (K*Fin_orig, Fout_orig) in the
+    original orientation, accumulated across the sequential TPU grid.
+    """
+    slot = _assemble_window(n, h, R, Tr, Sd, P, xc_ref, w_ref, top_ref,
+                            bot_ref, ls_ref, xw, ww, ss, sems)
+    x0 = xw[slot]
+    w = ww[slot]
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Tr, P), 1)
+    interior = (lane >= h) & (lane < h + n)
+    xr = jnp.where(interior[None], xr_ref[:, 0], 0.0)  # (Cout, Tr, P)
+
+    acc = None  # dot-mode dx accumulator
+    accs = [None] * Cout  # axpy-mode dx accumulators
+    dwb = []  # per-term dW blocks, k-major
+    if contract == "dot":
+        xr2 = xr.reshape(Cout, Tr * P)
+    for k, t in enumerate(_term_stream(kind, K, Sd, P, w, x0, radius)):
+        ctr = t[:, R : R + Tr, :]  # (C, Tr, P)
+        if contract == "dot":
+            ctr2 = ctr.reshape(C, Tr * P)
+            outs = []
+            gk = None
+            for b in range(B):
+                ab = ctr2[b * Fin : (b + 1) * Fin]
+                yb = jnp.dot(
+                    wkT_ref[k], ab, preferred_element_type=jnp.float32,
+                    precision=config.precision(),
+                )
+                outs.append(yb.reshape(Fout, Tr, P))
+                g = jax.lax.dot_general(
+                    xr2[b * Fout : (b + 1) * Fout], ab,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=config.precision(),
+                )
+                gk = g if gk is None else gk + g
+            y = outs[0] if B == 1 else jnp.concatenate(outs, axis=0)
+            acc = y if acc is None else acc + y
+            dwb.append(gk)  # (Fout, Fin) = (Fin_orig, Fout_orig)
+        else:
+            for b in range(B):
+                for fo in range(Fout):
+                    s = accs[b * Fout + fo]
+                    for fi in range(Fin):
+                        c = wk_ref[k, fi, fo] * ctr[b * Fin + fi]
+                        s = c if s is None else s + c
+                    accs[b * Fout + fo] = s
+            rows = []
+            for fx in range(Fout):  # x-channel features (Fin_orig)
+                cells = []
+                for fc in range(Fin):  # recursion features (Fout_orig)
+                    s = None
+                    for b in range(B):
+                        c = jnp.sum(
+                            xr[b * Fout + fx] * ctr[b * Fin + fc],
+                            keepdims=True,
+                        )
+                        s = c if s is None else s + c
+                    cells.append(s)
+                rows.append(jnp.concatenate(cells, axis=1))
+            dwb.append(jnp.concatenate(rows, axis=0))
+
+    if contract == "dot":
+        out_ref[:, 0] = acc.astype(out_ref.dtype)
+    else:
+        out_ref[:, 0] = jnp.stack(accs, axis=0).astype(out_ref.dtype)
+
+    block = jnp.concatenate(dwb, axis=0).astype(dw_ref.dtype)
+
+    @pl.when(first)
+    def _():
+        dw_ref[...] = block
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dw_ref[...] = dw_ref[...] + block
+
+
 def _strip_arrays(st, xc, faces=None, bands=None):
     """Build the four halo-strip DMA sources from the activation interior.
 
@@ -558,6 +655,68 @@ def _run_grad_kernel(st, kind, n_terms, xc, wext, strips, dy, B, Fin,
         ),
         interpret=interpret,
     )(xc, wext, *strips, dy)
+
+
+def _run_dxdw_kernel(st, kind, n_terms, dy, wext, strips, wk3t, xr, B,
+                     interpret):
+    """Fused dx+dW pallas_call (see :func:`_dxdw_kernel`).
+
+    dy: (C, F, n, P) cotangent in the native layout; strips: halo strips
+    of dy; wk3t: (K, Fout_orig, Fin_orig) per-term transposed channel
+    kernel (the dx pass's wk3); xr: forward input x (Cout, F, n, P) with
+    corrupt rows zeroed.  Returns
+    (dx (Cout, F, n, P), dwk (K*Fin_orig, Fout_orig)).
+    """
+    C = dy.shape[0]
+    F = dy.shape[1]
+    K, Fin, Fout = wk3t.shape  # pass roles: Fin = Fout_orig, Fout = Fin_orig
+    Cout = B * Fout
+    nplanes = len(st.offsets)
+    contract = config.resolve_contract(B * Fin * Fout * K)
+    wkT = jnp.transpose(wk3t, (0, 2, 1))
+    n, h, R, P, Tr, Sd = _band_geometry(st, C, Cout, io_blocks=4)
+
+    kernel = partial(_dxdw_kernel, kind, K, st.radius, contract, n, h, R,
+                     Tr, Sd, P, C, Cout, B, Fin, Fout)
+    return pl.pallas_call(
+        kernel,
+        grid=(F, n // Tr),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 5
+        + [
+            pl.BlockSpec(
+                (Cout, 1, Tr, P), lambda f, i: (0, f, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (Cout, 1, Tr, P), lambda f, i: (0, f, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (K * Fout, Fin), lambda f, i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Cout, F, n, P), jnp.float32),
+            jax.ShapeDtypeStruct((K * Fout, Fin), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, C, Sd, P), jnp.float32),
+            pltpu.VMEM((2, nplanes, Sd, P), jnp.float32),
+            pltpu.VMEM((2, C, Sd, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 7)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 2**20,
+        ),
+        interpret=interpret,
+    )(wk3t, wkT, dy, wext, *strips, xr)
 
 
 # ---------------------------------------------------------------------------
@@ -810,29 +969,64 @@ def fused_stencil_conv_cfp(st: FaceStencil, tables, xc, kernel, n_terms,
             .reshape(Fout * n_terms, Fin)
         )
         has_corr = bool(tables["corr_src"].shape[0])
-        dx = _forward_cfp(st, kind, n_terms, B, interpret, tables, dy,
-                          kernel_t)
-        dx = dx.astype(xc.dtype)
-        dy_clean = _zero_corrections(st, dy) if has_corr else dy
-
-        # dW: per-term scalar contractions over the same band windows;
-        # strips come from the forward residuals (same xc)
         xcf = xc.astype(jnp.float32)
         wext = tables["weights"].astype(jnp.float32)
-        dwk = _run_grad_kernel(
-            st, kind, n_terms, xcf, wext, strips, dy_clean, B, Fin,
-            interpret,
-        ).reshape(n_terms, Fin, Fout)
-        if has_corr:
-            basis = _basis_at_rows(st, tables, xcf, n_terms, kind)
-            dy_rc = _gather_corrections(st, dy)
-            dwk = dwk + jnp.einsum(
-                "krbf,rbo->kfo",
-                basis.reshape(n_terms, -1, B, Fin),
-                dy_rc.reshape(-1, B, Fout),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+
+        if config.fused_dw:
+            # one band pass over dy computes BOTH dx and the face-exact
+            # part of dW (adjoint trick — see _dxdw_kernel); corner rows
+            # are handled outside: dx via the exact ball patch, dW by
+            # zeroing x at corrupt rows in the kernel contraction and
+            # adding the exact <x[corrupt], T_k(L~)dy[corrupt]> terms.
+            wk3t = jnp.transpose(
+                kernel_t.astype(jnp.float32).reshape(Fout, n_terms, Fin),
+                (1, 0, 2),
+            )  # (K, Fout_orig, Fin_orig)
+            dyf = dy
+            dy_strips = _strip_arrays(st, dyf)
+            xr = _zero_corrections(st, xcf) if has_corr else xcf
+            dx, dwk2 = _run_dxdw_kernel(
+                st, kind, n_terms, dyf, wext, dy_strips, wk3t, xr, B,
+                interpret,
             )
+            if has_corr:
+                dx_fix = _corrected_rows(st, tables, dyf, wk3t, n_terms,
+                                         kind, B)
+                dx = _patch_corrections(st, dx, dx_fix)
+            dx = dx.astype(xc.dtype)
+            dwk = dwk2.reshape(n_terms, Fin, Fout)
+            if has_corr:
+                tdy = _basis_at_rows(st, tables, dyf, n_terms, kind)
+                x_rc = _gather_corrections(st, xcf)
+                dwk = dwk + jnp.einsum(
+                    "rbf,krbo->kfo",
+                    x_rc.reshape(-1, B, Fin),
+                    tdy.reshape(n_terms, -1, B, Fout),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+        else:
+            dx = _forward_cfp(st, kind, n_terms, B, interpret, tables, dy,
+                              kernel_t)
+            dx = dx.astype(xc.dtype)
+            dy_clean = _zero_corrections(st, dy) if has_corr else dy
+
+            # dW: per-term scalar contractions over the same band windows;
+            # strips come from the forward residuals (same xc)
+            dwk = _run_grad_kernel(
+                st, kind, n_terms, xcf, wext, strips, dy_clean, B, Fin,
+                interpret,
+            ).reshape(n_terms, Fin, Fout)
+            if has_corr:
+                basis = _basis_at_rows(st, tables, xcf, n_terms, kind)
+                dy_rc = _gather_corrections(st, dy)
+                dwk = dwk + jnp.einsum(
+                    "krbf,rbo->kfo",
+                    basis.reshape(n_terms, -1, B, Fin),
+                    dy_rc.reshape(-1, B, Fout),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
         dkernel = jnp.transpose(dwk, (1, 0, 2)).reshape(
             Fin * n_terms, Fout
         ).astype(kernel.dtype)

@@ -155,3 +155,32 @@ def test_dot_contraction_matches_axpy(rng, graph):
             cfg.set_contract_mode("auto")
     for a, b in zip(outs["axpy"], outs["dot"]):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_dw_matches_two_kernel_path(rng, graph):
+    """The fused dx+dW backward (adjoint trick: dW = <x, T_k(L~)dy>) must
+    match the two-kernel reference path bit-for-bit-ish — including the
+    corner-correction terms, which the two paths decompose differently
+    (zeroing dy rows vs zeroing x rows plus the symmetric ball term)."""
+    K, B, Fin, Fout = 4, 2, 2, 3
+    st = graph.face_stencil(0.75, n_steps=K - 1)
+    tables = {k: jnp.asarray(v) for k, v in stencil_tables(st).items()}
+    x = jnp.asarray(rng.normal(size=(B, graph.n_pixels, Fin)), jnp.float32)
+    kern = jnp.asarray(rng.normal(size=(Fin * K, Fout)), jnp.float32)
+
+    def loss(x, k):
+        return jnp.sum(
+            stencil_graph_conv(st, x, k, K, "cheby", tables=tables) ** 2
+        )
+
+    assert cfg.fused_dw
+    gx1, gk1 = jax.grad(loss, argnums=(0, 1))(x, kern)
+    cfg.set_fused_dw(False)
+    try:
+        gx2, gk2 = jax.grad(loss, argnums=(0, 1))(x, kern)
+    finally:
+        cfg.set_fused_dw(True)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gk1), np.asarray(gk2), rtol=1e-5, atol=1e-4
+    )
