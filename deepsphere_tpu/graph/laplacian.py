@@ -126,6 +126,15 @@ def _grid_adjacency(nside, indices, kernel_width=None, width_ratio=None):
 #: (healpy_networks.py:39-42).
 GRID_RADIUS = {8: 1, 20: 2, 40: 3, 60: 4}
 
+#: capture radius for EXACT kNN graphs (``method="knn"``, the reference's
+#: pygsp-SphereHealpix semantics): the k nearest neighbors are spatially
+#: local, so almost every row's edges fit a Chebyshev window one ring wider
+#: than the matching grid template; the O(1) rows that don't (polar-corner
+#: anisotropy) are handled by the stencil extraction's corrupt-row exact
+#: recompute.  This is what lets ``method="knn"`` ride the fused Pallas
+#: conv path instead of the serialized-gather ELLPACK path.
+KNN_CAPTURE_RADIUS = {8: 2, 20: 3, 40: 4, 60: 5}
+
 
 def _grid_ring_adjacency(nside, indices, k, kernel_width=None,
                          width_ratio=None):
@@ -204,6 +213,11 @@ def _knn_adjacency(coords, k, kernel_width=None, width_ratio=None):
 
     n = coords.shape[0]
     k_eff = min(k, n - 1)
+    if k_eff < k:
+        logger.info(
+            f"WARNING: graph has only {n} vertices; kNN degree reduced "
+            f"from k={k} to {k_eff} (check nside/indices if unexpected)"
+        )
     nn = NearestNeighbors(n_neighbors=k_eff + 1).fit(coords)
     dist, idx = nn.kneighbors(coords)
     dist = dist[:, 1:]  # drop self
@@ -326,6 +340,7 @@ class SphereGraph:
     L: sparse.csr_matrix = field(repr=False)  # un-rescaled Laplacian
     A: sparse.csr_matrix = field(repr=False)  # adjacency
     lmax: float = 0.0
+    method: str = "custom"  # construction: "grid" | "knn" | "custom"
 
     def __post_init__(self):
         self._ellpack_cache = {}
@@ -333,7 +348,8 @@ class SphereGraph:
         self._nb_w = None  # native (neighbors, weights) for lazy A
         ind = np.ascontiguousarray(np.asarray(self.indices, dtype=np.int64))
         h = hashlib.sha1(ind.tobytes()).hexdigest()[:16]
-        self._key = (self.nside, h, self.k, self.lap_type, round(self.kernel_width, 12))
+        self._key = (self.nside, h, self.k, self.lap_type,
+                     round(self.kernel_width, 12), self.method)
 
     # identity by content key -> stable hashing inside jit-static contexts
     def __hash__(self):
@@ -392,9 +408,14 @@ class SphereGraph:
 
     @property
     def stencil_radius(self):
-        """Candidate stencil template radius for this graph's k (1, 2, 3 or
-        4), or None if k has no grid template.  Extraction verifies the
-        edges actually fit the template (kNN graphs get rejected there)."""
+        """Candidate stencil capture radius for this graph's k, or None if
+        no template applies.  Grid/ring graphs use the exact template
+        radius (:data:`GRID_RADIUS`); exact-kNN graphs use the one-ring-
+        wider capture window (:data:`KNN_CAPTURE_RADIUS`) with corrupt-row
+        recompute for the rare out-of-window edges.  Extraction verifies
+        the edges actually fit and falls back to ELLPACK otherwise."""
+        if self.method == "knn":
+            return KNN_CAPTURE_RADIUS.get(int(self.k))
         return GRID_RADIUS.get(int(self.k))
 
     def deep_stencil(self, scale, n_terms):
@@ -523,6 +544,7 @@ def build_sphere_graph(
                     nside=nside, indices=indices, k=k, lap_type=lap_type,
                     kernel_width=float(z["kernel_width"]),
                     L=None, A=None, lmax=float(z["lmax"]),
+                    method=method,
                 )
                 nb = z["nb"].astype(np.int64)
                 w = z["w"].astype(np.float64)
@@ -541,6 +563,7 @@ def build_sphere_graph(
                     nside=nside, indices=indices, k=k, lap_type=lap_type,
                     kernel_width=float(z["kernel_width"]),
                     L=L, A=W, lmax=float(z["lmax"]),
+                    method=method,
                 )
             logger.info(f"Loaded cached sphere graph from {cache_path}")
             g._cache_dir = cache_dir
@@ -562,6 +585,7 @@ def build_sphere_graph(
             graph = SphereGraph(
                 nside=nside, indices=indices, k=k, lap_type=lap_type,
                 kernel_width=kw_used, L=L, A=W, lmax=lmax_bound(L),
+                method=method,
             )
             graph._cache_dir = cache_dir
             if cache_path is not None:
@@ -593,6 +617,7 @@ def build_sphere_graph(
                 nside=nside, indices=indices, k=k, lap_type=lap_type,
                 kernel_width=res["kernel_width"],
                 L=None, A=None, lmax=res["lmax"],
+                method=method,
             )
             graph._ell_L = (res["ell_idx"], res["ell_val"])
             graph._nb_w = (res["nb"], res["w"])
@@ -634,6 +659,7 @@ def build_sphere_graph(
         L=L,
         A=W,
         lmax=lmax,
+        method=method,
     )
     graph._cache_dir = cache_dir
 

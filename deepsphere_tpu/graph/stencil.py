@@ -117,6 +117,15 @@ class FaceStencil:
     # (Rc,) face-flat positions of the corrupt rows
     radius: int = 1  # stencil radius r: taps span (2r+1)^2; one application
     # consumes r halo rows/cols (k in {20,40,60} ring graphs have r > 1)
+    # single-application fix rows (exact-kNN graphs only): interior rows
+    # whose edges escape/alias the capture window.  The per-step XLA path
+    # overwrites y at these rows with the exact ELLPACK matvec after every
+    # application (the fused kernel instead folds them into corrupt_rows).
+    fix_src: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
+    # (Rf,) face-flat positions of the fix rows
+    fix_idx: np.ndarray = field(default_factory=lambda: np.zeros((0, 9), np.int32))
+    # (Rf, W) face-flat column ids of the exact rows
+    fix_val: np.ndarray = field(default_factory=lambda: np.zeros((0, 9), np.float32))
 
     @property
     def pad_width(self):
@@ -137,7 +146,7 @@ def _stencil_cache_path(graph, scale, n_steps, cache_dir):
         return None
     tag = "-".join(str(p) for p in h)
     return os.path.join(
-        cache_dir, f"face_stencil-v4-{tag}-s{scale:.6g}-n{n_steps}.npz"
+        cache_dir, f"face_stencil-v5-{tag}-s{scale:.6g}-n{n_steps}.npz"
     )
 
 
@@ -156,7 +165,7 @@ def load_stencil_cache(graph, scale, n_steps, cache_dir):
         "south_src", "south_mask", "north_src", "north_mask",
         "n2f", "f2n", "corrupt_rows",
         "corr_src", "corr_idx", "corr_val", "corr_out_ball", "corr_out_face",
-        "radius",
+        "radius", "fix_src", "fix_idx", "fix_val",
     ]
     if not all(f in z for f in fields):  # stale cache from an older layout
         return None
@@ -198,6 +207,9 @@ def save_stencil_cache(st, graph, cache_dir):
         corr_val=st.corr_val,
         corr_out_ball=st.corr_out_ball,
         corr_out_face=st.corr_out_face,
+        fix_src=st.fix_src,
+        fix_idx=st.fix_idx,
+        fix_val=st.fix_val,
     )
     os.replace(tmp, path)
 
@@ -216,8 +228,11 @@ def face_stencil(graph, scale, n_steps=None):
     """Extract the stencil form of ``graph``'s rescaled Laplacian.
 
     :param graph: a :class:`~deepsphere_tpu.graph.SphereGraph` over the full
-        sphere whose edges connect only NEST grid neighbors (k=8 "grid"
-        construction).
+        sphere.  Grid/ring graphs ("grid" construction) extract exactly at
+        the template radius; exact-kNN graphs ("knn", the reference's pygsp
+        semantics) extract at the wider capture radius
+        (:data:`..laplacian.KNN_CAPTURE_RADIUS`) with the rare
+        escaping/aliasing rows routed to the corrupt-row exact recompute.
     :param scale: spectrum rescale passed to ``graph.ellpack``.
     :param n_steps: number of fused stencil applications the caller intends
         (halo depth).  ``1`` (default) is exact; ``>1`` produces a
@@ -228,12 +243,21 @@ def face_stencil(graph, scale, n_steps=None):
 
     nside = int(graph.nside)
     npix = hp.nside2npix(nside)
-    radius = GRID_RADIUS.get(int(graph.k))
+    radius = getattr(graph, "stencil_radius", None)
+    if radius is None:
+        radius = GRID_RADIUS.get(int(graph.k))
     if radius is None:
         raise ValueError(
             f"no stencil template for k={graph.k}; supported k: "
             f"{sorted(GRID_RADIUS)}"
         )
+    # grid/ring graphs are stencil-structured BY CONSTRUCTION: any
+    # incomplete interior row there is an internal error.  Exact kNN
+    # graphs (reference pygsp semantics) are merely stencil-CAPTURABLE:
+    # the rare rows whose edges escape the capture window (or alias two
+    # offsets near the polar corners) become corrupt rows, recomputed
+    # exactly from the ball ELLPACK like the corner rows already are.
+    strict = getattr(graph, "method", "grid") != "knn"
     if n_steps is None:
         n_steps = radius
     if n_steps < radius or n_steps % radius or n_steps >= nside:
@@ -318,20 +342,33 @@ def face_stencil(graph, scale, n_steps=None):
     expect = row_abs[rows_flat[real]]
     got = captured_abs[real]
     tol = 1e-6 * (1.0 + expect)
-    if np.any(got > expect + tol):
+    overcounted = np.zeros(12 * Pw * Pw, dtype=bool)
+    overcounted[real] = got > expect + tol
+    if strict and np.any(overcounted):
         raise ValueError("stencil extraction double-counted entries (internal error)")
     incomplete = np.zeros(12 * Pw * Pw, dtype=bool)
     incomplete[real] = got < expect - tol
+    bad = incomplete | overcounted
 
-    # interior rows must be complete, else the graph is not grid-structured
+    # interior rows must be complete for grid/ring graphs, else the graph
+    # is not grid-structured; for kNN graphs bad interior rows join the
+    # corrupt set (bounded fraction — beyond that the capture radius is
+    # wrong for this graph and ELLPACK fallback is the honest answer)
     interior = np.zeros((12, Pw, Pw), dtype=bool)
     interior[:, h : h + nside, h : h + nside] = True
-    if np.any(incomplete & interior.reshape(-1)):
-        n_bad = int(np.sum(incomplete & interior.reshape(-1)))
-        raise ValueError(
-            f"{n_bad} graph rows have edges outside the NEST 8-neighbor "
-            "structure; graph is not stencil-representable"
-        )
+    bad_int = bad & interior.reshape(-1)
+    if np.any(bad_int):
+        n_bad = int(np.unique(rows_flat[bad_int]).shape[0])
+        if strict:
+            raise ValueError(
+                f"{n_bad} graph rows have edges outside the NEST 8-neighbor "
+                "structure; graph is not stencil-representable"
+            )
+        if n_bad > 0.03 * npix:
+            raise ValueError(
+                f"{n_bad} of {npix} kNN rows escape the radius-{radius} "
+                "capture window; graph is not efficiently stencil-capturable"
+            )
 
     # fused-step corruption: halo positions with incomplete neighborhoods
     # poison everything within stencil reach over the remaining
@@ -339,7 +376,8 @@ def face_stencil(graph, scale, n_steps=None):
     # 8-neighbor BFS hops
     corrupt_rows = np.zeros(0, dtype=np.int64)
     corr = {}
-    if n_steps > radius and np.any(incomplete):
+    need_corr = (n_steps > radius and np.any(bad)) or np.any(bad_int)
+    if need_corr:
         if getattr(graph, "_nb_w", None) is not None:
             nb = graph._nb_w[0]
         elif native.available():
@@ -360,8 +398,16 @@ def face_stencil(graph, scale, n_steps=None):
                 reach |= set(frontier.tolist())
             return np.asarray(sorted(reach), dtype=np.int64)
 
-        seeds = np.unique(rows_flat[incomplete])
+        seeds = np.unique(rows_flat[bad])
         corrupt_rows = bfs(seeds, n_steps - radius)
+        if not strict and corrupt_rows.shape[0] > 0.6 * npix:
+            # kNN corner wedges grow as (n_steps)^2 (O(1) in nside): at
+            # tiny nside / deep fusion the exact-recompute ball would
+            # swallow the map — ELLPACK fallback is the honest answer
+            raise ValueError(
+                f"{corrupt_rows.shape[0]} of {npix} rows corrupt under "
+                f"{n_steps}-step fusion; stencil capture not worthwhile"
+            )
 
         # recompute ball: t_0 gathered exactly, so a ball of radius n_steps
         # around the corrupt rows supports n_steps exact recursion steps at
@@ -403,6 +449,26 @@ def face_stencil(graph, scale, n_steps=None):
     south_src, south_mask = strip(hmP[:, s : s + nside, :s])  # (12, n, s)
     north_src, north_mask = strip(hmP[:, s : s + nside, s + nside :])  # (12, n, s)
 
+    # single-application fix rows for the per-step XLA path (kNN graphs):
+    # the exact ELLPACK rows of the bad interior rows, in face-flat ids
+    fix = {}
+    if not strict and np.any(bad_int):
+        seeds_int = np.unique(rows_flat[bad_int])  # NEST ids
+        fix = dict(
+            fix_src=f2n[seeds_int].astype(np.int32),
+            fix_idx=f2n[
+                np.asarray(ell_idx[seeds_int], dtype=np.int64)
+            ].astype(np.int32),
+            fix_val=np.asarray(ell_val[seeds_int], dtype=np.float32),
+        )
+        from .._logger import logger
+
+        logger.info(
+            f"kNN stencil capture (radius {radius}): {len(seeds_int)} of "
+            f"{npix} rows escape the window -> exact per-row recompute "
+            f"({corrupt_rows.shape[0]} corrupt rows for the fused path)"
+        )
+
     n2f = halo_map(nside, 0).reshape(-1).astype(np.int32)
 
     # wrapped-extended weight layout (see FaceStencil.weights): face row x
@@ -433,4 +499,5 @@ def face_stencil(graph, scale, n_steps=None):
         f2n=f2n.astype(np.int32),
         corrupt_rows=corrupt_rows,
         **corr,
+        **fix,
     )

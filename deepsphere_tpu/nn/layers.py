@@ -299,8 +299,9 @@ class _GraphPolyConv(nn.Module):
                     st = self.graph.face_stencil(self._scale)
                 if st is None and self.conv_method == "stencil":
                     raise ValueError(
-                        "conv_method='stencil' requires a full-sphere "
-                        "grid-structured (k=8) graph"
+                        "conv_method='stencil' requires a stencil-capturable "
+                        "full-sphere graph (grid/ring construction, or a kNN "
+                        "graph whose edges fit the capture window)"
                     )
             if st is None and self.layout == "face":
                 raise ValueError(

@@ -282,23 +282,44 @@ def _term_stream(kind, K, Sr, P, w, x0, radius=1):
     (``pltpu.roll``), so wrap-around garbage creeps in ``radius``
     rows/lanes per step from the window border.  Callers only consume the
     (R, h)-offset center, which stays exact for all steps (h = r*(K-1)).
+
+    Sublane-roll factorization: ``w_d * S_x^dx(q) = S_x^dx(S_x^-dx(w_d)
+    * q)``, so pre-shifting each weight plane by +dx ONCE per band (cheap:
+    plane-sized, amortized over K-1 laps) lets the accumulation group by
+    dx and hoist the per-tap sublane roll out of the inner sum — 2r
+    C-sized sublane rolls per lap instead of up to (2r+1)^2 - (2r+1).
+    The pre-shift wraps weight rows at the window border, corrupting only
+    the same <= r-deep border margin the tap rolls already corrupt; the
+    garbage still advances r rows per step and never reaches the center.
     """
     from ..graph.stencil import stencil_offsets
 
     offs = stencil_offsets(radius)
     nc = len(offs) - 1  # center plane (last)
 
+    # group planes by dx; shift = +dx on the sublane axis (w~(i) = w(i-dx))
+    groups = {}  # dx -> list of ((1, Sr, P) plane, dy)
+    for d, (dx, dy) in enumerate(offs[:-1]):
+        wd = w[d : d + 1]
+        if dx:
+            wd = pltpu.roll(wd, (Sr + dx) % Sr, axis=1)
+        groups.setdefault(dx, []).append((wd, dy))
+    groups.setdefault(0, []).append((w[nc : nc + 1], 0))
+
     def lap(p):
         lanes = {0: p}
         for dy in range(1, radius + 1):
             lanes[-dy] = pltpu.roll(p, dy, axis=2)  # p[.., j-dy]
             lanes[dy] = pltpu.roll(p, P - dy, axis=2)  # p[.., j+dy]
-        t = w[nc][None] * p
-        for d, (dx, dy) in enumerate(offs[:-1]):
-            q = lanes[dy]
+        t = None
+        for dx, planes in groups.items():
+            u = None
+            for wd, dy in planes:
+                c = wd * lanes[dy]
+                u = c if u is None else u + c
             if dx:
-                q = pltpu.roll(q, (Sr - dx) % Sr, axis=1)
-            t = t + w[d][None] * q
+                u = pltpu.roll(u, (Sr - dx) % Sr, axis=1)
+            t = u if t is None else t + u
         return t
 
     yield x0

@@ -258,6 +258,10 @@ def stencil_tables(st: FaceStencil):
         "corr_val": st.corr_val,
         "corr_out_ball": st.corr_out_ball,
         "corr_out_face": st.corr_out_face,
+        # exact-kNN per-application fix rows (empty for grid/ring graphs)
+        "fix_src": st.fix_src,
+        "fix_idx": st.fix_idx,
+        "fix_val": st.fix_val,
     }
 
 
@@ -312,6 +316,21 @@ def stencil_matvec(st: FaceStencil, tables, xf):
     for d, (dx, dy) in enumerate(offs[:-1]):
         sl = xpad[:, s + dx : s + dx + n, s + dy : s + dy + n, :]
         y = y + w[d][..., None] * sl
+    fs = tables.get("fix_src")
+    if fs is not None and fs.shape[0]:
+        # exact-kNN graphs: rows whose edges escape/alias the capture
+        # window get the exact ELLPACK matvec (small row set; see
+        # graph.stencil.face_stencil)
+        C = xf.shape[-1]
+        flat = xf.reshape(12 * n * n, C)
+        vals = jnp.einsum(
+            "rw,rwc->rc",
+            tables["fix_val"].astype(xf.dtype),
+            flat[tables["fix_idx"]],
+            preferred_element_type=jnp.float32,
+            precision=config.precision(),
+        ).astype(xf.dtype)
+        y = y.reshape(12 * n * n, C).at[fs].set(vals).reshape(y.shape)
     return y
 
 

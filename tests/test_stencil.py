@@ -78,16 +78,44 @@ def test_stencil_matvec_matches_scipy(rng):
     np.testing.assert_allclose(y, y_ref, atol=1e-5)
 
 
-def test_stencil_rejects_knn_graph():
+def test_knn_graph_extracts_wide_stencil(rng):
+    """kNN graphs now ride the stencil path via the radius-2 capture
+    window (tests/test_knn_stencil.py has the deep/fused coverage)."""
     g = build_sphere_graph(8, k=8, method="knn")
-    assert g.face_stencil(0.75) is None
+    st = g.face_stencil(0.75)
+    assert st is not None and st.radius == 2
+
+    from deepsphere_tpu.ops.stencil import stencil_tables
+
+    L = g.rescaled(0.75)
+    x = rng.normal(size=(g.n_pixels, 3)).astype(np.float32)
+    tables = {k: jnp.asarray(v) for k, v in stencil_tables(st).items()}
+    xf = jnp.asarray(x)[tables["n2f"]].reshape(12, 8, 8, 3)
+    y = np.asarray(stencil_matvec(st, tables, xf).reshape(-1, 3))[st.f2n]
+    np.testing.assert_allclose(y, L @ x, atol=1e-5)
 
 
-def test_stencil_rejects_partial_sky_knn():
-    """kNN masked graphs rewire boundary pixels to 2nd-ring neighbors —
-    not stencil-representable (the grid method is the fast path)."""
-    g = build_sphere_graph(8, indices=np.arange(200), k=8, method="knn")
-    assert g.face_stencil(0.75) is None
+def test_partial_sky_knn_stencil_exact(rng):
+    """kNN masked graphs rewire boundary pixels to 2nd-ring neighbors;
+    the capture window holds them, escapes get the per-row exact fix."""
+    from deepsphere_tpu.ops.stencil import stencil_tables
+    from deepsphere_tpu.sphere import healpix as hp
+
+    ind = np.arange(200)
+    g = build_sphere_graph(8, indices=ind, k=8, method="knn")
+    st = g.face_stencil(0.75)
+    assert st is not None
+
+    npix = hp.nside2npix(8)
+    x = rng.normal(size=(len(ind), 3)).astype(np.float32)
+    y_ref = g.rescaled(0.75) @ x
+    xfull = np.zeros((npix, 3), np.float32)
+    xfull[ind] = x
+    tables = {k: jnp.asarray(v) for k, v in stencil_tables(st).items()}
+    xf = jnp.asarray(xfull)[tables["n2f"]].reshape(12, 8, 8, 3)
+    y = np.asarray(stencil_matvec(st, tables, xf).reshape(-1, 3))
+    y = y[np.asarray(st.f2n)][ind]
+    np.testing.assert_allclose(y, y_ref, atol=1e-5)
 
 
 def test_masked_grid_stencil_matches_ellpack(rng):
@@ -237,14 +265,16 @@ def test_conv_layer_uses_stencil_path(rng):
     assert g.face_stencil(0.75) is not None
 
 
-def test_conv_layer_stencil_method_raises_on_knn():
+def test_conv_layer_stencil_method_works_on_knn():
+    """conv_method='stencil' on a kNN graph no longer raises — the capture
+    window extracts an exact wide stencil (parity in test_knn_stencil.py)."""
     from deepsphere_tpu.nn.layers import ChebyshevConv
 
-    g = build_sphere_graph(4, k=8, method="knn")
+    g = build_sphere_graph(8, k=8, method="knn")
     x = jnp.zeros((1, g.n_pixels, 2), jnp.float32)
     layer = ChebyshevConv(graph=g, K=3, Fout=2, conv_method="stencil")
-    with pytest.raises(ValueError):
-        layer.init(jax.random.key(0), x)
+    vs = layer.init(jax.random.key(0), x)
+    assert "stencil" in vs["graph_tables"]
 
 
 # ---------------------------------------------------------------------------
