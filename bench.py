@@ -58,6 +58,15 @@ def _time(fn, tables, x, kernel, n_iters=20):
     return (time.time() - t0) / n_iters
 
 
+def _progress(extra):
+    """Bank partial results on stderr after every stage: a late-stage crash
+    (TPU worker fault, OOM) must not lose the two hours of numbers that
+    came before it."""
+    import sys
+
+    print("BENCH-PARTIAL " + json.dumps(extra), file=sys.stderr, flush=True)
+
+
 def _model_bench(jax, jnp, cache):
     """quick_start-shaped model benchmark (reference architecture verbatim:
     4x Chebyshev K=10 + pools + mean-softmax head, quick_start.ipynb cell 7)
@@ -267,12 +276,14 @@ def main():
         extra["train_over_fwd"] = round(dt_t / dt, 2)
     except Exception as e:
         extra["train_step_error"] = str(e)[:120]
+    _progress(extra)
 
     if os.environ.get("BENCH_MODEL", "1") == "1":
         try:
             extra.update(_model_bench(jax, jnp, cache))
         except Exception as e:
             extra["model_bench_error"] = str(e)[:160]
+        _progress(extra)
 
     if os.environ.get("BENCH_K20", "1") == "1":
         # k=20 ring-template conv (radius-2 stencil) at nside=256: the
@@ -301,20 +312,47 @@ def main():
             extra["k20_maps_per_s"] = round(BATCH / dt20, 1)
         except Exception as e:
             extra["k20_error"] = str(e)[:160]
+        _progress(extra)
+
+    _progress(extra)
+
+    if os.environ.get("BENCH_GATHER_PATH", "1") == "1":
+        # free the stencil-path buffers first: the gather path's basis
+        # stack peaks at K x activation, and HBM pressure distorts it
+        del x5, st_tables
+        idx_np, val_np = graph.ellpack(0.75)
+        ell = jax.device_put({"idx": idx_np, "val": val_np})
+
+        @jax.jit
+        def conv_gather(ell, x, kernel):
+            return graph_conv(
+                lambda x2d, nt: chebyshev_basis(ell["idx"], ell["val"], x2d, nt),
+                x, kernel, K,
+            )
+
+        try:
+            dt_g = _time(conv_gather, ell, x, kernel, n_iters=2)
+            extra["gather_path_step_ms"] = round(dt_g * 1e3, 2)
+            extra["stencil_speedup"] = round(dt_g / dt, 2)
+        except Exception as e:  # OOM at large nside etc.
+            extra["gather_path_error"] = str(e)[:120]
+        del ell
+        _progress(extra)
 
     if os.environ.get("BENCH_SMOOTH", "1") == "1":
         # Gaussian smoothing at the headline resolution (sigma = 10
         # arcmin): the stencil-decomposition path (m repetitions of a
         # radius-<=4 template; healpy_layers.py:510-853 semantics) —
         # the BallTree/ELLPACK form would need hundreds of serialized
-        # gather passes here
+        # gather passes here.  LAST: this stage once crashed the TPU
+        # worker; everything before it must already be banked.
         try:
             from deepsphere_tpu.nn.smoothing import (HealpySmoothing,
                                                      SmoothingOperator)
 
             op = SmoothingOperator(
                 nside=NSIDE, indices=np.arange(12 * NSIDE * NSIDE),
-                sigma=10.0, method="stencil",
+                sigma=10.0, method="stencil", data_path=cache,
             )
             lay = HealpySmoothing(operator=op)
             xs = jnp.asarray(
@@ -340,27 +378,7 @@ def main():
             del xs, ys, tbl
         except Exception as e:
             extra["smooth_error"] = str(e)[:160]
-
-    if os.environ.get("BENCH_GATHER_PATH", "1") == "1":
-        # free the stencil-path buffers first: the gather path's basis
-        # stack peaks at K x activation, and HBM pressure distorts it
-        del x5, st_tables
-        idx_np, val_np = graph.ellpack(0.75)
-        ell = jax.device_put({"idx": idx_np, "val": val_np})
-
-        @jax.jit
-        def conv_gather(ell, x, kernel):
-            return graph_conv(
-                lambda x2d, nt: chebyshev_basis(ell["idx"], ell["val"], x2d, nt),
-                x, kernel, K,
-            )
-
-        try:
-            dt_g = _time(conv_gather, ell, x, kernel, n_iters=2)
-            extra["gather_path_step_ms"] = round(dt_g * 1e3, 2)
-            extra["stencil_speedup"] = round(dt_g / dt, 2)
-        except Exception as e:  # OOM at large nside etc.
-            extra["gather_path_error"] = str(e)[:120]
+        _progress(extra)
 
     result = {
         "metric": f"maps/sec/chip nside={NSIDE} K={K} Chebyshev conv fwd "

@@ -81,6 +81,7 @@ class SmoothingOperator:
         self.nest = nest
         self.n_sigma_support = n_sigma_support
         self.per_channel_repetitions = per_channel_repetitions
+        self.data_path = data_path
 
         self.do_smoothing = not (fwhm == 0.0 or sigma == 0.0)
         if not self.do_smoothing:
@@ -199,6 +200,46 @@ class SmoothingOperator:
         sig = self.sigma_rad / np.sqrt(m)
         r = min(r_max, max(1, int(np.ceil(self.n_sigma_support * sig / spacing))))
 
+        class _EllGraph:
+            """Duck-typed graph carrying a prebuilt full-sphere template
+            ELLPACK into ``face_stencil`` (the row-normalized smoothing
+            matrix is not a Laplacian; scale is ignored)."""
+
+            def __init__(self, nside, k, ell):
+                self.nside = nside
+                self.k = k
+                self.indices = np.arange(12 * nside * nside)
+                self.n_pixels = 12 * nside * nside
+                self._ell = ell
+
+            def ellpack(self, scale):
+                return self._ell
+
+        # the template build + radius-r extraction is minutes of single-core
+        # numpy at nside>=512: disk-cache the extracted stencil, keyed by
+        # the full smoothing identity (mirrors the reference's kernel cache,
+        # healpy_layers.py:652-662)
+        import hashlib
+
+        k_of_r = {1: 8, 2: 20, 3: 40, 4: 60}
+        idx_h = hashlib.sha1(
+            np.ascontiguousarray(self.indices).tobytes()
+        ).hexdigest()[:16]
+        stencil_key = (
+            "smoothstencil", nside, self.n_indices, idx_h,
+            round(self.sigma_arcmin, 10), self.n_sigma_support, m, r,
+        )
+        g = _EllGraph(nside, k_of_r[r], None)
+        g._key = stencil_key
+        from ..graph.stencil import load_stencil_cache, save_stencil_cache
+
+        st = load_stencil_cache(g, 0.0, r, self.data_path)
+        if st is not None:
+            logger.info(f"Loaded cached smoothing stencil from {self.data_path}")
+            self.stencil = st
+            self.stencil_reps = m
+            return
+
         hm = halo_map(nside, r)
         offsets = [(dx, dy)
                    for dx in range(-r, r + 1) for dy in range(-r, r + 1)
@@ -239,24 +280,9 @@ class SmoothingOperator:
             np.concatenate([w, center[:, None]], axis=1) / rowsum[:, None]
         ).astype(np.float64)
 
-        class _EllGraph:
-            """Duck-typed graph carrying a prebuilt full-sphere template
-            ELLPACK into ``face_stencil`` (the row-normalized smoothing
-            matrix is not a Laplacian; scale is ignored)."""
-
-            def __init__(self, nside, k, ell):
-                self.nside = nside
-                self.k = k
-                self.indices = np.arange(12 * nside * nside)
-                self.n_pixels = 12 * nside * nside
-                self._ell = ell
-
-            def ellpack(self, scale):
-                return self._ell
-
-        k_of_r = {1: 8, 2: 20, 3: 40, 4: 60}
-        g = _EllGraph(nside, k_of_r[r], (ell_idx, ell_val))
+        g._ell = (ell_idx, ell_val)
         self.stencil = face_stencil(g, 0.0, n_steps=r)
+        save_stencil_cache(self.stencil, g, self.data_path)
         self.stencil_reps = m
 
     def _build_kernel(self):
