@@ -360,7 +360,7 @@ def main():
                     size=(1, 12 * NSIDE * NSIDE, 1)
                 ), jnp.float32,
             )
-            vs = lay.init(0, xs)
+            vs = lay.init(jax.random.PRNGKey(0), xs)
             tbl = {k: jax.device_put(v) for k, v in vs.items()}
 
             @jax.jit

@@ -73,6 +73,7 @@ class SmoothingOperator:
         self.method = method
         self.stencil = None
         self.stencil_reps = 1
+        self.stencil_apps = 1
         assert fwhm is not None or sigma is not None, "One of fwhm and sigma has to be specified"
         assert fwhm is None or sigma is None, "Only one of fwhm and sigma can be specified"
 
@@ -133,7 +134,7 @@ class SmoothingOperator:
             self._key = (
                 "stencil", self.nside, self.n_indices,
                 round(self.sigma_arcmin, 10), n_sigma_support,
-                self.stencil_reps,
+                self.stencil_reps, self.stencil_apps,
                 hashlib.sha1(
                     np.ascontiguousarray(self.indices).tobytes()
                 ).hexdigest()[:16],
@@ -215,6 +216,25 @@ class SmoothingOperator:
             def ellpack(self, scale):
                 return self._ell
 
+        # fused depth: extract the stencil deep enough that ALL m (x
+        # per-channel) repetitions run as ONE fused Pallas pass — S^j x is
+        # the j-th monomial recursion term, selected by a one-hot
+        # contraction (see HealpySmoothing._apply_stencil).  The kernel
+        # geometry caps the halo at h = r * n_apps (2h <= 128 lanes,
+        # window rows 8-aligned: ops.pallas_stencil.cfp_structural_available);
+        # when the full chain does not fit, fall back to one application
+        # per pass (n_apps = 1, the per-step XLA path).
+        reps_arr = self.per_channel_repetitions
+        reps_max = int(np.max(reps_arr)) if reps_arr is not None else 1
+        m_total = m * reps_max
+        h_fits = lambda j: (
+            2 * r * j <= 128 and nside % 8 == 0
+            and nside >= -(-r * j // 8) * 8 and r * j < nside
+        )
+        n_apps = m_total
+        while n_apps > 1 and not h_fits(n_apps):
+            n_apps -= 1  # chunked fusion: ceil(m_total / n_apps) passes
+
         # the template build + radius-r extraction is minutes of single-core
         # numpy at nside>=512: disk-cache the extracted stencil, keyed by
         # the full smoothing identity (mirrors the reference's kernel cache,
@@ -233,11 +253,12 @@ class SmoothingOperator:
         g._key = stencil_key
         from ..graph.stencil import load_stencil_cache, save_stencil_cache
 
-        st = load_stencil_cache(g, 0.0, r, self.data_path)
+        st = load_stencil_cache(g, 0.0, r * n_apps, self.data_path)
         if st is not None:
             logger.info(f"Loaded cached smoothing stencil from {self.data_path}")
             self.stencil = st
             self.stencil_reps = m
+            self.stencil_apps = n_apps
             return
 
         hm = halo_map(nside, r)
@@ -281,9 +302,10 @@ class SmoothingOperator:
         ).astype(np.float64)
 
         g._ell = (ell_idx, ell_val)
-        self.stencil = face_stencil(g, 0.0, n_steps=r)
+        self.stencil = face_stencil(g, 0.0, n_steps=r * n_apps)
         save_stencil_cache(self.stencil, g, self.data_path)
         self.stencil_reps = m
+        self.stencil_apps = n_apps
 
     def _build_kernel(self):
         """BallTree haversine kNN within n_sigma_support * sigma, evaluated
@@ -368,8 +390,15 @@ class HealpySmoothing(nn.Module):
 
     def _apply_stencil(self, op, x, reps):
         """Structured path: m repetitions of the narrow template stencil in
-        face layout (masked rows embedded via take, never scatter)."""
-        from ..ops.stencil import stencil_matvec, stencil_tables
+        face layout (masked rows embedded via take, never scatter).
+
+        When the operator's stencil was extracted at the full chain depth
+        (``stencil_apps == m_total``), every channel's power S^{j_c} x is
+        ONE graph-conv call: the monomial recursion terms are exactly the
+        powers of S, and a one-hot contraction selects term ``j_c`` for
+        channel ``c`` — on TPU this is a single fused Pallas pass over the
+        map instead of m_total serialized halo-pad matvecs."""
+        from ..ops.stencil import stencil_graph_conv, stencil_tables
 
         st = op.stencil
         n = st.nside
@@ -395,23 +424,34 @@ class HealpySmoothing(nn.Module):
                 [x2d, jnp.zeros((1, B * C), x2d.dtype)], axis=0
             )
             x2d = jnp.take(xpad, tables["mask_inv"], axis=0)
-        xf = jnp.take(x2d, tables["n2f"], axis=0).reshape(12, n, n, B * C)
 
         base = int(op.stencil_reps)
-        if reps is None:
-            for _ in range(base):
-                xf = stencil_matvec(st, tables, xf)
-            yflat = xf.reshape(npix, B * C)
-        else:
-            xc4 = xf.reshape(12, n, n, B, C)
-            chans = []
+        apps = int(getattr(op, "stencil_apps", 1))
+        remaining = (base * np.asarray(reps, dtype=int) if reps is not None
+                     else np.full(C, base, dtype=int))
+
+        # power chain in ceil(m_total / apps) conv passes: S^j = j-th
+        # monomial recursion term; a one-hot contraction picks the power
+        # each channel still needs (finished channels ride term 0 = id).
+        # n_terms is pinned to apps+1 so every pass matches the stencil's
+        # extraction depth and stays on the fused kernel.
+        conv_tables = {k: v for k, v in tables.items()
+                       if k not in ("mask_ind", "mask_inv")}
+        n_terms = apps + 1
+        xface = jnp.take(x2d, tables["n2f"], axis=0)
+        xbmc = jnp.transpose(xface.reshape(npix, B, C), (1, 0, 2))
+        while remaining.max() > 0:
+            j = np.minimum(remaining, apps)
+            wk = np.zeros((C, n_terms, C), np.float32)
             for c in range(C):
-                fc = xc4[..., c]
-                for _ in range(base * int(reps[c])):
-                    fc = stencil_matvec(st, tables, fc)
-                chans.append(fc)
-            yflat = jnp.stack(chans, axis=-1).reshape(npix, B * C)
-        y2d = jnp.take(yflat, tables["f2n"], axis=0)
+                wk[c, int(j[c]), c] = 1.0
+            xbmc = stencil_graph_conv(
+                st, xbmc, jnp.asarray(wk.reshape(C * n_terms, C)), n_terms,
+                "mono", tables=conv_tables, layout="face",
+            )
+            remaining = remaining - j
+        y2d = jnp.transpose(xbmc, (1, 0, 2)).reshape(npix, B * C)
+        y2d = jnp.take(y2d, tables["f2n"], axis=0)
         if M != npix:
             y2d = jnp.take(y2d, tables["mask_ind"], axis=0)
         return jnp.transpose(y2d.reshape(M, B, C), (1, 0, 2))

@@ -1,0 +1,117 @@
+"""Fused smoothing: the whole repetition chain as monomial powers.
+
+``HealpySmoothing`` decomposes a wide Gaussian into ``m`` repetitions of a
+narrow radius-<=4 template (``healpy_layers.py:592-621`` semantics).  Since
+S^j x is the j-th monomial recursion term, the chain runs as
+ceil(m_total / apps) graph-conv passes with a one-hot contraction picking
+each channel's power — on TPU that is the fused Pallas kernel instead of
+m_total serialized halo-pad matvecs.  These tests pin the conv-path result
+against explicit per-step ``stencil_matvec`` application.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepsphere_tpu.nn.smoothing import HealpySmoothing, SmoothingOperator
+from deepsphere_tpu.ops.stencil import stencil_matvec, stencil_tables
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(3)
+
+
+def _per_step_reference(op, x, indices=None):
+    """Explicit m-repetition per-step application of op's template."""
+    st = op.stencil
+    n = st.nside
+    npix = 12 * n * n
+    B, M, C = x.shape
+    tables = {k: jnp.asarray(v) for k, v in stencil_tables(st).items()}
+    x2d = jnp.transpose(x, (1, 0, 2)).reshape(M, B * C)
+    if M != npix:
+        full = jnp.zeros((npix, B * C), x2d.dtype)
+        x2d = full.at[jnp.asarray(indices)].set(x2d)
+    x4 = jnp.take(x2d, tables["n2f"], axis=0).reshape(12, n, n, B, C)
+    reps = op.per_channel_repetitions
+    chans = []
+    for c in range(C):
+        fc = x4[..., c]
+        total = op.stencil_reps * (int(reps[c]) if reps is not None else 1)
+        for _ in range(total):
+            fc = stencil_matvec(st, tables, fc)
+        chans.append(fc)
+    yf = jnp.stack(chans, axis=-1).reshape(npix, B * C)
+    y2d = jnp.take(yf, tables["f2n"], axis=0)
+    if M != npix:
+        y2d = y2d[jnp.asarray(indices)]
+    return np.asarray(jnp.transpose(y2d.reshape(M, B, C), (1, 0, 2)))
+
+
+def _apply(op, x):
+    lay = HealpySmoothing(operator=op)
+    vs = lay.init(jax.random.PRNGKey(0), x)
+    return np.asarray(lay.apply(vs, x))
+
+
+def test_fused_chunked_uniform(rng):
+    """m=8 at nside=32 needs chunking (apps=7 < 8): two conv passes must
+    equal eight per-step matvecs."""
+    nside = 32
+    npix = 12 * nside * nside
+    x = jnp.asarray(rng.normal(size=(2, npix, 2)), jnp.float32)
+    op = SmoothingOperator(nside=nside, indices=np.arange(npix),
+                           sigma=400.0, method="stencil")
+    assert op.stencil_reps > op.stencil_apps > 1  # chunked by construction
+    y = _apply(op, x)
+    y_ref = _per_step_reference(op, x)
+    np.testing.assert_allclose(y, y_ref, rtol=3e-6, atol=3e-6)
+
+
+def test_fused_per_channel_powers(rng):
+    """Multi-scale sigmas: each channel rides its own one-hot power."""
+    nside = 32
+    npix = 12 * nside * nside
+    x = jnp.asarray(rng.normal(size=(1, npix, 3)), jnp.float32)
+    op = SmoothingOperator(nside=nside, indices=np.arange(npix),
+                           sigma=[400.0, 560.0, 700.0], method="stencil")
+    assert op.per_channel_repetitions is not None
+    y = _apply(op, x)
+    y_ref = _per_step_reference(op, x)
+    np.testing.assert_allclose(y, y_ref, rtol=3e-6, atol=3e-6)
+
+
+def test_fused_masked_sky(rng):
+    """Partial-sky smoothing through the conv path (zero rows outside the
+    mask; output restricted to the mask)."""
+    nside = 32
+    npix = 12 * nside * nside
+    ind = np.arange(npix)[npix // 4: 3 * npix // 4]
+    x = jnp.asarray(rng.normal(size=(2, ind.shape[0], 2)), jnp.float32)
+    op = SmoothingOperator(nside=nside, indices=ind, sigma=400.0,
+                           method="stencil")
+    y = _apply(op, x)
+    y_ref = _per_step_reference(op, x, indices=ind)
+    np.testing.assert_allclose(y, y_ref, rtol=3e-6, atol=3e-6)
+
+
+def test_fused_interpret_kernel_agrees(rng):
+    """Force the interpret-mode Pallas kernel (the TPU code path) and check
+    it against the XLA per-step reference."""
+    import deepsphere_tpu.config as cfg
+
+    nside = 32
+    npix = 12 * nside * nside
+    x = jnp.asarray(rng.normal(size=(1, npix, 2)), jnp.float32)
+    op = SmoothingOperator(nside=nside, indices=np.arange(npix),
+                           sigma=400.0, method="stencil")
+    old = cfg.use_pallas
+    cfg.use_pallas = "on"
+    try:
+        y = _apply(op, x)
+    finally:
+        cfg.use_pallas = old
+    y_ref = _per_step_reference(op, x)
+    np.testing.assert_allclose(y, y_ref, rtol=5e-6, atol=5e-6)

@@ -31,11 +31,8 @@ def timed(fn, *args, n_iters=20, chain=None):
     import jax
 
     def readback(out):
-        leaf = jax.tree_util.tree_leaves(out)[-1]  # last: largest output
-        if leaf.ndim == 0:
-            np.asarray(leaf)
-        else:
-            np.asarray(leaf[(0,) * (leaf.ndim - 1) + (slice(0, 1),)])
+        leaf = max(jax.tree_util.tree_leaves(out), key=lambda a: a.size)
+        np.asarray(leaf[(0,) * leaf.ndim])  # device-side scalar read
 
     out = fn(*args)
     jax.block_until_ready(out)
