@@ -141,7 +141,8 @@ def test_chebyshev_parity(ref, graphs, rng, method, K, use_bias, use_bn, act):
     if use_bias:
         params["bias"] = np.asarray(tf_layer.bias.numpy())
     ours = ChebyshevConv(graph=g, K=K, Fout=Fout, use_bias=use_bias,
-                         use_bn=use_bn, activation=act)
+                         use_bn=use_bn, activation=act,
+                         conv_method="ellpack")
     y, _ = _apply_ours(ours, params, x)
     assert np.abs(y - y_ref).max() < 1e-5, np.abs(y - y_ref).max()
 
@@ -172,7 +173,8 @@ def test_monomial_parity(ref, graphs, rng, method, K):
         "kernel": np.asarray(tf_layer.kernel.numpy()),
         "bias": np.asarray(tf_layer.bias.numpy()),
     }
-    ours = MonomialConv(graph=g, K=K, Fout=Fout, use_bias=True)
+    ours = MonomialConv(graph=g, K=K, Fout=Fout, use_bias=True,
+                        conv_method="ellpack")
     y, _ = _apply_ours(ours, params, x)
     assert np.abs(y - y_ref).max() < 1e-5, np.abs(y - y_ref).max()
 
@@ -192,11 +194,12 @@ def test_bernstein_quirk_parity(ref, graphs, rng, method, K):
     y_ref = tf_layer(tf.constant(x)).numpy()
     params = {"kernel": np.asarray(tf_layer.kernel.numpy())}
 
-    quirk = BernsteinConv(graph=g, K=K, Fout=Fout, ref_quirks=True)
+    quirk = BernsteinConv(graph=g, K=K, Fout=Fout, ref_quirks=True,
+                          conv_method="ellpack")
     y_q, _ = _apply_ours(quirk, params, x)
     assert np.abs(y_q - y_ref).max() < 1e-5, np.abs(y_q - y_ref).max()
 
-    correct = BernsteinConv(graph=g, K=K, Fout=Fout)
+    correct = BernsteinConv(graph=g, K=K, Fout=Fout, conv_method="ellpack")
     y_c, _ = _apply_ours(correct, params, x)
     assert np.abs(y_c - y_ref).max() > 1e-3  # the quirk is real
 
@@ -234,7 +237,7 @@ def test_residual_parity(ref, graphs, rng, use_bn, norm_type, act_before):
             "bias": np.asarray(tf_layer.bn2.beta.numpy()),
         }
     ours = ResidualLayer(
-        graph=g, layer_type="CHEBY", layer_kwargs={"K": K, "Fout": F},
+        graph=g, layer_type="CHEBY", layer_kwargs={"K": K, "Fout": F, "conv_method": "ellpack"},
         activation="relu", act_before=act_before, use_bn=use_bn,
         norm_type=norm_type, alpha=0.7,
     )
