@@ -97,9 +97,14 @@ def test_fused_masked_sky(rng):
     np.testing.assert_allclose(y, y_ref, rtol=3e-6, atol=3e-6)
 
 
+@pytest.mark.slow
 def test_fused_interpret_kernel_agrees(rng):
     """Force the interpret-mode Pallas kernel (the TPU code path) and check
-    it against the XLA per-step reference."""
+    it against the XLA per-step reference.
+
+    slow: interpret-mode Pallas is ~1 min; the fused kernel itself is
+    covered by tests/test_pallas.py in the default run, and the smoothing
+    chunking/per-channel/mask logic by the three tests above (XLA path)."""
     import deepsphere_tpu.config as cfg
 
     nside = 32
