@@ -278,6 +278,30 @@ def main():
         extra["train_step_error"] = str(e)[:120]
     _progress(extra)
 
+    if os.environ.get("BENCH_BF16", "1") == "1":
+        # opt-in bf16 band mode: recursion at half the VMEM traffic, MXU
+        # bf16 contraction with f32 accumulation (config.conv_dtype)
+        import deepsphere_tpu.config as ds_config
+
+        ds_config.set_conv_dtype("bfloat16")
+        try:
+            # separate python fn -> separate jit cache entry (the config
+            # flag is read at trace time)
+            @jax.jit
+            def conv_bf16(tables, x5, kernel):
+                return stencil_graph_conv_cface(
+                    st, x5, kernel, K, "cheby", tables=tables
+                )
+
+            dt_b = _time(conv_bf16, st_tables, x5, kernel)
+            extra["bf16_step_ms"] = round(dt_b * 1e3, 2)
+            extra["bf16_maps_per_s"] = round(BATCH / dt_b, 1)
+        except Exception as e:
+            extra["bf16_error"] = str(e)[:160]
+        finally:
+            ds_config.set_conv_dtype("float32")
+        _progress(extra)
+
     if os.environ.get("BENCH_MODEL", "1") == "1":
         try:
             extra.update(_model_bench(jax, jnp, cache))

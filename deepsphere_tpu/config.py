@@ -69,6 +69,36 @@ def resolve_contract(unroll: int) -> str:
     return "axpy" if unroll <= contract_dot_min_unroll else "dot"
 
 
+# Fused-kernel band compute dtype.  "float32" (default) runs the whole
+# recursion in f32 — bit-compatible with the XLA stencil path and the
+# <1e-5 TF2-parity target.  "bfloat16" casts the assembled band window and
+# weight planes to bf16 INSIDE the kernel: the Chebyshev/monomial
+# recursion (the VMEM-bandwidth-bound stage) runs at half the VMEM
+# traffic and the channel contraction feeds the MXU with native bf16
+# inputs (f32 accumulation via preferred_element_type).  Halo DMA and the
+# exact corner correction stay f32, so there is no new alignment
+# constraint.  Relative error vs f32 is ~1e-3..1e-2 — opt in for
+# throughput (inference / mixed-precision training), like Keras
+# mixed_bfloat16.
+conv_dtype: str = "float32"
+
+
+def set_conv_dtype(name: str):
+    global conv_dtype
+    if name not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"conv_dtype must be float32/bfloat16, got {name}"
+        )
+    conv_dtype = name
+
+
+def band_dtype():
+    """The jnp dtype the fused kernel's recursion runs in."""
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if conv_dtype == "bfloat16" else jnp.float32
+
+
 # Fused dx+dW backward: compute the kernel cotangent inside the dx band
 # pass (adjoint trick — L~ symmetric, so dW = <x, T_k(L~) dy> over the
 # recursion terms the dx pass already holds in VMEM).  Saves the separate

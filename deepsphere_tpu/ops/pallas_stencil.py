@@ -332,9 +332,9 @@ def _term_stream(kind, K, Sr, P, w, x0, radius=1):
         prev2, prev1 = prev1, t
 
 
-def _stencil_kernel(kind, K, radius, contract, n, h, R, Tr, Sd, P, C, Cout,
-                    B, Fin, Fout, wk_ref, wkT_ref, xc_ref, w_ref, top_ref,
-                    bot_ref, ls_ref, out_ref, xw, ww, ss, sems):
+def _stencil_kernel(kind, K, radius, contract, bdt, n, h, R, Tr, Sd, P, C,
+                    Cout, B, Fin, Fout, wk_ref, wkT_ref, xc_ref, w_ref,
+                    top_ref, bot_ref, ls_ref, out_ref, xw, ww, ss, sems):
     """One (face, band) output tile.
 
     xc_ref: (C, 12, n, P) activations in HBM; w_ref: (T2, 12, n+2R, P)
@@ -344,11 +344,14 @@ def _stencil_kernel(kind, K, radius, contract, n, h, R, Tr, Sd, P, C, Cout,
     wk_ref: (K, Fin, Fout) scalar coefficients in SMEM (axpy contraction);
     wkT_ref: (K, Fout, Fin) in VMEM (dot contraction).
     out_ref: (Cout, 1, Tr, P) — full padded width, no final slice.
+    bdt: band compute dtype (config.band_dtype()); bf16 casts the window
+    + weight planes ONCE after assembly, halving the recursion's VMEM
+    traffic; the DMA pieces and the output stay f32.
     """
     slot = _assemble_window(n, h, R, Tr, Sd, P, xc_ref, w_ref, top_ref,
                             bot_ref, ls_ref, xw, ww, ss, sems)
-    x0 = xw[slot]
-    w = ww[slot]
+    x0 = xw[slot].astype(bdt)
+    w = ww[slot].astype(bdt)
 
     kb_mode = config.kernel_bisect()  # kernel-cost bisection (dev only)
     if kb_mode == "norecur":
@@ -362,14 +365,16 @@ def _stencil_kernel(kind, K, radius, contract, n, h, R, Tr, Sd, P, C, Cout,
         # the unroll count is also Mosaic COMPILE time, which explodes at
         # realistic channel counts (quick_start: 4000 AXPYs per tile)
         acc = None
+        prec = (config.precision() if bdt == jnp.float32
+                else jax.lax.Precision.DEFAULT)  # bf16 inputs: native MXU
         for k, t in terms:
             ctr = t[:, R : R + Tr, :]  # (C, Tr, P)
             outs = []
             for b in range(B):
                 ab = ctr[b * Fin : (b + 1) * Fin].reshape(Fin, Tr * P)
                 yb = jnp.dot(
-                    wkT_ref[k], ab, preferred_element_type=jnp.float32,
-                    precision=config.precision(),
+                    wkT_ref[k].astype(bdt), ab,
+                    preferred_element_type=jnp.float32, precision=prec,
                 )
                 outs.append(yb.reshape(Fout, Tr, P))
             y = outs[0] if B == 1 else jnp.concatenate(outs, axis=0)
@@ -394,19 +399,22 @@ def _stencil_kernel(kind, K, radius, contract, n, h, R, Tr, Sd, P, C, Cout,
     out_ref[:, 0] = jnp.stack(acc, axis=0).astype(out_ref.dtype)
 
 
-def _grad_kernel(kind, K, radius, contract, n, h, R, Tr, Sd, P, C, Cout, B,
-                 Fin, Fout, xc_ref, w_ref, top_ref, bot_ref, ls_ref,
-                 dy_ref, out_ref, xw, ww, ss, sems):
+def _grad_kernel(kind, K, radius, contract, bdt, n, h, R, Tr, Sd, P, C,
+                 Cout, B, Fin, Fout, xc_ref, w_ref, top_ref, bot_ref,
+                 ls_ref, dy_ref, out_ref, xw, ww, ss, sems):
     """Accumulates dW[k, fi, fo] = sum_bands sum_b <T_k(x)[b, fi], dy[b, fo]>.
 
     dy_ref: (Cout, 1, Tr, P) block in the conv's native layout; its
     non-interior lanes (halo/pad — garbage) are masked to zero in VMEM.
     out_ref: (K*Fin, Fout), shared across the (sequential) TPU grid.
+    bdt: band compute dtype; bf16 halves the recursion's VMEM traffic
+    (dW still accumulates in f32 — dot via preferred_element_type, axpy
+    via the f32 dy promoting each product).
     """
     slot = _assemble_window(n, h, R, Tr, Sd, P, xc_ref, w_ref, top_ref,
                             bot_ref, ls_ref, xw, ww, ss, sems)
-    x0 = xw[slot]
-    w = ww[slot]
+    x0 = xw[slot].astype(bdt)
+    w = ww[slot].astype(bdt)
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (Tr, P), 1)
@@ -419,7 +427,9 @@ def _grad_kernel(kind, K, radius, contract, n, h, R, Tr, Sd, P, C, Cout, B,
         # must be a SINGLE dim (Mosaic tpu.matmul rejects multi-dim
         # contractions); the merge reshape is the same one the forward
         # dot path uses.
-        dy2 = dy.reshape(Cout, Tr * P)
+        dy2 = dy.reshape(Cout, Tr * P).astype(bdt)
+        prec = (config.precision() if bdt == jnp.float32
+                else jax.lax.Precision.DEFAULT)
         blocks = []
         for k, t in enumerate(_term_stream(kind, K, Sd, P, w, x0, radius)):
             ctr = t[:, R : R + Tr, :].reshape(C, Tr * P)
@@ -430,7 +440,7 @@ def _grad_kernel(kind, K, radius, contract, n, h, R, Tr, Sd, P, C, Cout, B,
                     dy2[b * Fout : (b + 1) * Fout],
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=config.precision(),
+                    precision=prec,
                 )
                 acc_k = g if acc_k is None else acc_k + g
             blocks.append(acc_k)
@@ -462,8 +472,8 @@ def _grad_kernel(kind, K, radius, contract, n, h, R, Tr, Sd, P, C, Cout, B,
         out_ref[...] = out_ref[...] + block
 
 
-def _dxdw_kernel(kind, K, radius, contract, n, h, R, Tr, Sd, P, C, Cout,
-                 B, Fin, Fout, wk_ref, wkT_ref, xc_ref, w_ref, top_ref,
+def _dxdw_kernel(kind, K, radius, contract, bdt, n, h, R, Tr, Sd, P, C,
+                 Cout, B, Fin, Fout, wk_ref, wkT_ref, xc_ref, w_ref, top_ref,
                  bot_ref, ls_ref, xr_ref, out_ref, dw_ref, xw, ww, ss, sems):
     """dx AND dW in one band pass over dy (the adjoint trick: L~ is
     symmetric, so dW[k] = <T_k(L~) x, dy> = <x, T_k(L~) dy> — the same
@@ -481,19 +491,21 @@ def _dxdw_kernel(kind, K, radius, contract, n, h, R, Tr, Sd, P, C, Cout,
     """
     slot = _assemble_window(n, h, R, Tr, Sd, P, xc_ref, w_ref, top_ref,
                             bot_ref, ls_ref, xw, ww, ss, sems)
-    x0 = xw[slot]
-    w = ww[slot]
+    x0 = xw[slot].astype(bdt)
+    w = ww[slot].astype(bdt)
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (Tr, P), 1)
     interior = (lane >= h) & (lane < h + n)
     xr = jnp.where(interior[None], xr_ref[:, 0], 0.0)  # (Cout, Tr, P)
 
+    prec = (config.precision() if bdt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     acc = None  # dot-mode dx accumulator
     accs = [None] * Cout  # axpy-mode dx accumulators
     dwb = []  # per-term dW blocks, k-major
     if contract == "dot":
-        xr2 = xr.reshape(Cout, Tr * P)
+        xr2 = xr.reshape(Cout, Tr * P).astype(bdt)
     for k, t in enumerate(_term_stream(kind, K, Sd, P, w, x0, radius)):
         ctr = t[:, R : R + Tr, :]  # (C, Tr, P)
         if contract == "dot":
@@ -503,15 +515,15 @@ def _dxdw_kernel(kind, K, radius, contract, n, h, R, Tr, Sd, P, C, Cout,
             for b in range(B):
                 ab = ctr2[b * Fin : (b + 1) * Fin]
                 yb = jnp.dot(
-                    wkT_ref[k], ab, preferred_element_type=jnp.float32,
-                    precision=config.precision(),
+                    wkT_ref[k].astype(bdt), ab,
+                    preferred_element_type=jnp.float32, precision=prec,
                 )
                 outs.append(yb.reshape(Fout, Tr, P))
                 g = jax.lax.dot_general(
                     xr2[b * Fout : (b + 1) * Fout], ab,
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=config.precision(),
+                    precision=prec,
                 )
                 gk = g if gk is None else gk + g
             y = outs[0] if B == 1 else jnp.concatenate(outs, axis=0)
@@ -554,6 +566,21 @@ def _dxdw_kernel(kind, K, radius, contract, n, h, R, Tr, Sd, P, C, Cout,
     @pl.when(jnp.logical_not(first))
     def _():
         dw_ref[...] = dw_ref[...] + block
+
+
+def _resolve_contract_dtype(unroll):
+    """(contract strategy, band compute dtype) for a kernel launch.
+
+    In bf16 band mode the AXPY path would either accumulate in bf16 or
+    re-promote every product to f32, so ``auto`` routes to the MXU dot
+    contraction (native bf16 inputs, f32 accumulation); an explicit
+    ``set_contract_mode("axpy")`` still wins for A/B measurements.
+    """
+    contract = config.resolve_contract(unroll)
+    bdt = config.band_dtype()
+    if bdt == jnp.bfloat16 and config.contract_mode == "auto":
+        contract = "dot"
+    return contract, bdt
 
 
 def _strip_arrays(st, xc, faces=None, bands=None):
@@ -604,12 +631,12 @@ def _run_stencil_kernel(st, kind, n_terms, xc, wext, strips, wk3, B,
     K, Fin, Fout = wk3.shape
     Cout = B * Fout
     nplanes = len(st.offsets)
-    contract = config.resolve_contract(B * Fin * Fout * K)
+    contract, bdt = _resolve_contract_dtype(B * Fin * Fout * K)
     wkT = jnp.transpose(wk3, (0, 2, 1))  # (K, Fout, Fin) for the dot path
     n, h, R, P, Tr, Sd = _band_geometry(st, C, Cout)
 
-    kernel = partial(_stencil_kernel, kind, K, st.radius, contract, n, h, R,
-                     Tr, Sd, P, C, Cout, B, Fin, Fout)
+    kernel = partial(_stencil_kernel, kind, K, st.radius, contract, bdt, n,
+                     h, R, Tr, Sd, P, C, Cout, B, Fin, Fout)
     return pl.pallas_call(
         kernel,
         grid=(F, n // Tr),
@@ -646,11 +673,11 @@ def _run_grad_kernel(st, kind, n_terms, xc, wext, strips, dy, B, Fin,
     Fout = Cout // B
     K = n_terms
     nplanes = len(st.offsets)
-    contract = config.resolve_contract(B * Fin * Fout * K)
+    contract, bdt = _resolve_contract_dtype(B * Fin * Fout * K)
     n, h, R, P, Tr, Sd = _band_geometry(st, C, Cout)
 
-    kernel = partial(_grad_kernel, kind, K, st.radius, contract, n, h, R,
-                     Tr, Sd, P, C, Cout, B, Fin, Fout)
+    kernel = partial(_grad_kernel, kind, K, st.radius, contract, bdt, n, h,
+                     R, Tr, Sd, P, C, Cout, B, Fin, Fout)
     return pl.pallas_call(
         kernel,
         grid=(F, n // Tr),
@@ -693,12 +720,12 @@ def _run_dxdw_kernel(st, kind, n_terms, dy, wext, strips, wk3t, xr, B,
     K, Fin, Fout = wk3t.shape  # pass roles: Fin = Fout_orig, Fout = Fin_orig
     Cout = B * Fout
     nplanes = len(st.offsets)
-    contract = config.resolve_contract(B * Fin * Fout * K)
+    contract, bdt = _resolve_contract_dtype(B * Fin * Fout * K)
     wkT = jnp.transpose(wk3t, (0, 2, 1))
     n, h, R, P, Tr, Sd = _band_geometry(st, C, Cout, io_blocks=4)
 
-    kernel = partial(_dxdw_kernel, kind, K, st.radius, contract, n, h, R,
-                     Tr, Sd, P, C, Cout, B, Fin, Fout)
+    kernel = partial(_dxdw_kernel, kind, K, st.radius, contract, bdt, n, h,
+                     R, Tr, Sd, P, C, Cout, B, Fin, Fout)
     return pl.pallas_call(
         kernel,
         grid=(F, n // Tr),

@@ -184,3 +184,34 @@ def test_fused_dw_matches_two_kernel_path(rng, graph):
     np.testing.assert_allclose(
         np.asarray(gk1), np.asarray(gk2), rtol=1e-5, atol=1e-4
     )
+
+
+def test_bf16_band_mode_close_to_f32(rng, graph):
+    """config.conv_dtype="bfloat16" runs the recursion in bf16 (half the
+    VMEM traffic) with f32 contraction accumulation; outputs and gradients
+    must track the f32 path within bf16 resolution (~1e-2 relative)."""
+    K, B, Fin, Fout = 5, 2, 2, 3
+    st = graph.face_stencil(0.75, n_steps=K - 1)
+    tables = {k: jnp.asarray(v) for k, v in stencil_tables(st).items()}
+    x = jnp.asarray(rng.normal(size=(B, graph.n_pixels, Fin)), jnp.float32)
+    kern = jnp.asarray(rng.normal(size=(Fin * K, Fout)), jnp.float32)
+
+    def loss(x, k):
+        y = stencil_graph_conv(st, x, k, K, "cheby", tables=tables)
+        return jnp.sum(y ** 2), y
+
+    (_, y32), (gx32, gk32) = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True
+    )(x, kern)
+    assert cfg.conv_dtype == "float32"
+    cfg.set_conv_dtype("bfloat16")
+    try:
+        (_, y16), (gx16, gk16) = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True
+        )(x, kern)
+    finally:
+        cfg.set_conv_dtype("float32")
+    for a, b in ((y32, y16), (gx32, gx16), (gk32, gk16)):
+        a, b = np.asarray(a), np.asarray(b)
+        tol = 3e-2 * max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(b, a, atol=tol)
