@@ -108,20 +108,24 @@ def cfp_geometry(n, h):
     return _round_up(h, 8), _round_up(n + 2 * h, 128)
 
 
-def _pick_band(n, R, P, C, cout, nplanes=9, io_blocks=2):
+def _pick_band(n, R, P, C, cout, nplanes=9, io_blocks=2, band_bytes=4):
     """Row-band height Tr: the largest power-of-two band whose working set
     (recursion state + weight planes + accumulators + pipeline buffers)
     fits the VMEM budget.  ``io_blocks``: number of double-buffered
     (cout, Tr, P) pipeline blocks (2 = output only; the fused dx+dW kernel
-    adds a double-buffered x input block -> 4)."""
+    adds a double-buffered x input block -> 4).  ``band_bytes``: bytes per
+    element of the recursion state (2 in bf16 band mode — the in-kernel
+    cast halves the live temporaries, affording a larger band)."""
     budget = int(os.environ.get("DS_PALLAS_VMEM_MB", "96")) * 2**20
     for Tr in (512, 256, 128, 64, 32, 16, 8):
         if Tr > n or n % Tr or Tr < R:
             continue
         Sd = Tr + 2 * R
-        est = 4 * (
-            6 * C * Sd * P  # recursion state (prev2/prev1/t) + roll temps
-            + 2 * (C + nplanes) * Sd * P  # double-buffered band scratch
+        est = (
+            # recursion state (prev2/prev1/t) + roll temps, band dtype
+            band_bytes * 6 * C * Sd * P
+        ) + 4 * (
+            2 * (C + nplanes) * Sd * P  # double-buffered band scratch (f32)
             + 2 * C * Sd * 128  # double-buffered packed lane-strip scratch
             + cout * Tr * P  # AXPY accumulators
             + io_blocks * cout * Tr * P  # double-buffered in/out blocks
@@ -138,12 +142,13 @@ def _pick_band(n, R, P, C, cout, nplanes=9, io_blocks=2):
     return n
 
 
-def _band_geometry(st, C, cout, io_blocks=2):
+def _band_geometry(st, C, cout, io_blocks=2, bdt=None):
     n = st.nside
     h = st.n_steps
     R, P = cfp_geometry(n, h)
+    band_bytes = 2 if bdt == jnp.bfloat16 else 4
     Tr = _pick_band(n, R, P, C, cout, nplanes=len(st.offsets),
-                    io_blocks=io_blocks)
+                    io_blocks=io_blocks, band_bytes=band_bytes)
     Sd = Tr + 2 * R
     return n, h, R, P, Tr, Sd
 
@@ -633,7 +638,7 @@ def _run_stencil_kernel(st, kind, n_terms, xc, wext, strips, wk3, B,
     nplanes = len(st.offsets)
     contract, bdt = _resolve_contract_dtype(B * Fin * Fout * K)
     wkT = jnp.transpose(wk3, (0, 2, 1))  # (K, Fout, Fin) for the dot path
-    n, h, R, P, Tr, Sd = _band_geometry(st, C, Cout)
+    n, h, R, P, Tr, Sd = _band_geometry(st, C, Cout, bdt=bdt)
 
     kernel = partial(_stencil_kernel, kind, K, st.radius, contract, bdt, n,
                      h, R, Tr, Sd, P, C, Cout, B, Fin, Fout)
@@ -674,7 +679,7 @@ def _run_grad_kernel(st, kind, n_terms, xc, wext, strips, dy, B, Fin,
     K = n_terms
     nplanes = len(st.offsets)
     contract, bdt = _resolve_contract_dtype(B * Fin * Fout * K)
-    n, h, R, P, Tr, Sd = _band_geometry(st, C, Cout)
+    n, h, R, P, Tr, Sd = _band_geometry(st, C, Cout, bdt=bdt)
 
     kernel = partial(_grad_kernel, kind, K, st.radius, contract, bdt, n, h,
                      R, Tr, Sd, P, C, Cout, B, Fin, Fout)
@@ -722,7 +727,8 @@ def _run_dxdw_kernel(st, kind, n_terms, dy, wext, strips, wk3t, xr, B,
     nplanes = len(st.offsets)
     contract, bdt = _resolve_contract_dtype(B * Fin * Fout * K)
     wkT = jnp.transpose(wk3t, (0, 2, 1))
-    n, h, R, P, Tr, Sd = _band_geometry(st, C, Cout, io_blocks=4)
+    n, h, R, P, Tr, Sd = _band_geometry(st, C, Cout, io_blocks=4,
+                                       bdt=bdt)
 
     kernel = partial(_dxdw_kernel, kind, K, st.radius, contract, bdt, n, h,
                      R, Tr, Sd, P, C, Cout, B, Fin, Fout)
