@@ -6,7 +6,8 @@ transposes + strip builds + corner correction), at the headline shape
 family: K=5 Chebyshev, Fin=Fout=4, batch 4.
 
 Usage:  python tools/kbench.py [nside]
-Env:    KB_K, KB_FIN, KB_FOUT, KB_BATCH override the shape family.
+Env:    KB_K, KB_FIN, KB_FOUT, KB_BATCH override the shape family;
+        KB_DTYPE=bfloat16 measures the bf16 band mode (config.conv_dtype).
 """
 
 import os
@@ -48,6 +49,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from deepsphere_tpu import config as ds_config
     from deepsphere_tpu.graph import build_sphere_graph
     from deepsphere_tpu.ops import pallas_stencil as ps
     from deepsphere_tpu.ops.stencil import (
@@ -70,6 +72,10 @@ def main():
     x = jnp.asarray(rng.normal(size=(BATCH, npix, FIN)), jnp.float32)
     tables = jax.device_put(stencil_tables(st))
     interpret = jax.default_backend() != "tpu"
+    kb_dtype = os.environ.get("KB_DTYPE", "float32")
+    ds_config.set_conv_dtype(kb_dtype)
+    if kb_dtype != "float32":
+        print(f"band mode     : {kb_dtype}")
 
     maps = lambda dt: BATCH / dt
     results = {}
