@@ -1,0 +1,172 @@
+"""Unattended on-chip validation queue for the fused kernel variants.
+
+Runs the experiments that need real TPU hardware, in one process, each
+stage banked to stdout as it completes (the tunnel/worker can die at any
+time — see PERFORMANCE.md "measurement gotchas"):
+
+1. bf16 band mode: Mosaic acceptance + on-chip correctness vs f32 at
+   nside=128 (rel tol 3e-2), then timing at the headline nside.
+2. f32 conv at DS_PALLAS_VMEM_MB=112 (Tr=128 band) — set the env var
+   BEFORE launching; this stage just reports the Tr actually picked.
+3. bf16 train step (fwd+dx+dW) timing.
+
+Usage:  python tools/tpu_checks.py [nside]   (default 1024)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+NSIDE = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+K, FIN, FOUT, BATCH = 5, 4, 4, 4
+
+
+def bank(name, **kv):
+    print("CHECK " + json.dumps({"stage": name, **kv}), flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from deepsphere_tpu import config as ds_config
+    from deepsphere_tpu.graph import build_sphere_graph
+    from deepsphere_tpu.ops import pallas_stencil as ps
+    from deepsphere_tpu.ops.stencil import (
+        cface_embed,
+        stencil_graph_conv,
+        stencil_tables,
+    )
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".bench_cache",
+    )
+    rng = np.random.RandomState(0)
+
+    def setup(nside):
+        graph = build_sphere_graph(nside, k=8, method="grid", cache_dir=cache)
+        st = graph.face_stencil(0.75, n_steps=K - 1)
+        tables = jax.device_put(stencil_tables(st))
+        kernel = jnp.asarray(
+            rng.normal(scale=0.1, size=(FIN * K, FOUT)), jnp.float32
+        )
+        x = jnp.asarray(
+            rng.normal(size=(BATCH, graph.n_pixels, FIN)), jnp.float32
+        )
+        xc = jax.block_until_ready(
+            jax.jit(
+                lambda x: cface_embed(x, st.nside, st.n_steps).reshape(
+                    BATCH * FIN, 12, st.nside, -1
+                )
+            )(x)
+        )
+        return st, tables, xc, kernel
+
+    def timed(fn, tables, xc, kernel, n_iters=20):
+        z = fn(tables, xc, kernel)
+        np.asarray(z[(0,) * z.ndim])
+        for _ in range(3):
+            z = fn(tables, z, kernel)
+        np.asarray(z[(0,) * z.ndim])
+        t0 = time.time()
+        for _ in range(n_iters):
+            z = fn(tables, z, kernel)
+        np.asarray(z[(0,) * z.ndim])
+        return (time.time() - t0) / n_iters
+
+    interpret = jax.default_backend() != "tpu"
+
+    def conv_fn():
+        # fresh python fn per call -> fresh jit cache entry (the conv
+        # dtype is read at trace time)
+        @jax.jit
+        def conv(tables, xc, kernel):
+            return ps.fused_stencil_conv_cfp(
+                st, tables, xc, kernel, K, "cheby", BATCH,
+                interpret=interpret,
+            )
+
+        return conv
+
+    # -- stage 1: bf16 correctness on-chip at nside=128 ------------------
+    try:
+        st, tables, xc, kernel = setup(128)
+        y32 = jax.block_until_ready(conv_fn()(tables, xc, kernel))
+        ds_config.set_conv_dtype("bfloat16")
+        try:
+            y16 = jax.block_until_ready(conv_fn()(tables, xc, kernel))
+        finally:
+            ds_config.set_conv_dtype("float32")
+        h, n = st.n_steps, st.nside
+        a = np.asarray(y32[:, :, :, h : h + n])
+        b = np.asarray(y16[:, :, :, h : h + n])
+        rel = float(np.abs(b - a).max() / max(np.abs(a).max(), 1e-8))
+        bank("bf16_correct_128", rel_err=round(rel, 5), ok=rel < 3e-2)
+        del st, tables, xc, kernel, y32, y16
+    except Exception as e:
+        bank("bf16_correct_128", error=str(e)[:300])
+
+    # -- stage 2: f32 vs bf16 conv timing at the headline nside ----------
+    try:
+        st, tables, xc, kernel = setup(NSIDE)
+        geo = ps._band_geometry(st, BATCH * FIN, BATCH * FOUT)
+        bank("geometry_f32", Tr=int(geo[4]),
+             vmem_mb=os.environ.get("DS_PALLAS_VMEM_MB", "96"))
+        dt32 = timed(conv_fn(), tables, xc, kernel)
+        bank("conv_f32", nside=NSIDE, step_ms=round(dt32 * 1e3, 2),
+             maps_per_s=round(BATCH / dt32, 1))
+        ds_config.set_conv_dtype("bfloat16")
+        try:
+            geo = ps._band_geometry(st, BATCH * FIN, BATCH * FOUT,
+                                    bdt=jnp.bfloat16)
+            bank("geometry_bf16", Tr=int(geo[4]))
+            dt16 = timed(conv_fn(), tables, xc, kernel)
+            bank("conv_bf16", nside=NSIDE, step_ms=round(dt16 * 1e3, 2),
+                 maps_per_s=round(BATCH / dt16, 1),
+                 speedup=round(dt32 / dt16, 2))
+        finally:
+            ds_config.set_conv_dtype("float32")
+    except Exception as e:
+        bank("conv_timing", error=str(e)[:300])
+
+    # -- stage 3: bf16 train step timing ---------------------------------
+    try:
+        ds_config.set_conv_dtype("bfloat16")
+
+        @jax.jit
+        def train_like(tables, xc, kernel):
+            def loss(xc, kernel):
+                y = ps.fused_stencil_conv_cfp(
+                    st, tables, xc, kernel, K, "cheby", BATCH,
+                    interpret=interpret,
+                )
+                return jnp.sum(y * y)
+
+            _, (dx, dk) = jax.value_and_grad(loss, argnums=(0, 1))(xc, kernel)
+            return dx, kernel - 1e-12 * dk
+
+        z, kz = train_like(tables, xc, kernel)
+        np.asarray(kz[0, 0])
+        for _ in range(3):
+            z, kz = train_like(tables, z, kz)
+        np.asarray(kz[0, 0])
+        t0 = time.time()
+        for _ in range(10):
+            z, kz = train_like(tables, z, kz)
+        np.asarray(kz[0, 0])
+        dt = (time.time() - t0) / 10
+        bank("train_bf16", step_ms=round(dt * 1e3, 2))
+    except Exception as e:
+        bank("train_bf16", error=str(e)[:300])
+    finally:
+        ds_config.set_conv_dtype("float32")
+
+
+if __name__ == "__main__":
+    main()
