@@ -11,6 +11,7 @@ time — see PERFORMANCE.md "measurement gotchas"):
 3. bf16 train step (fwd+dx+dW) timing.
 
 Usage:  python tools/tpu_checks.py [nside]   (default 1024)
+Env:    TC_STAGES="1,2,3" selects stages (default all).
 """
 
 import json
@@ -24,10 +25,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NSIDE = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
 K, FIN, FOUT, BATCH = 5, 4, 4, 4
+STAGES = set(os.environ.get("TC_STAGES", "1,2,3").split(","))
 
 
 def bank(name, **kv):
     print("CHECK " + json.dumps({"stage": name, **kv}), flush=True)
+
+
+class _Skip(Exception):
+    pass
 
 
 def main():
@@ -96,6 +102,8 @@ def main():
 
     # -- stage 1: bf16 correctness on-chip at nside=128 ------------------
     try:
+        if "1" not in STAGES:
+            raise _Skip
         st, tables, xc, kernel = setup(128)
         y32 = jax.block_until_ready(conv_fn()(tables, xc, kernel))
         ds_config.set_conv_dtype("bfloat16")
@@ -109,11 +117,15 @@ def main():
         rel = float(np.abs(b - a).max() / max(np.abs(a).max(), 1e-8))
         bank("bf16_correct_128", rel_err=round(rel, 5), ok=rel < 3e-2)
         del st, tables, xc, kernel, y32, y16
+    except _Skip:
+        pass
     except Exception as e:
         bank("bf16_correct_128", error=str(e)[:300])
 
     # -- stage 2: f32 vs bf16 conv timing at the headline nside ----------
     try:
+        if "2" not in STAGES and "2f" not in STAGES:
+            raise _Skip
         st, tables, xc, kernel = setup(NSIDE)
         geo = ps._band_geometry(st, BATCH * FIN, BATCH * FOUT)
         bank("geometry_f32", Tr=int(geo[4]),
@@ -121,6 +133,8 @@ def main():
         dt32 = timed(conv_fn(), tables, xc, kernel)
         bank("conv_f32", nside=NSIDE, step_ms=round(dt32 * 1e3, 2),
              maps_per_s=round(BATCH / dt32, 1))
+        if "2" not in STAGES:  # "2f": f32-only timing (Tr A/B runs)
+            raise _Skip
         ds_config.set_conv_dtype("bfloat16")
         try:
             geo = ps._band_geometry(st, BATCH * FIN, BATCH * FOUT,
@@ -132,11 +146,15 @@ def main():
                  speedup=round(dt32 / dt16, 2))
         finally:
             ds_config.set_conv_dtype("float32")
+    except _Skip:
+        pass
     except Exception as e:
         bank("conv_timing", error=str(e)[:300])
 
     # -- stage 3: bf16 train step timing ---------------------------------
     try:
+        if "3" not in STAGES:
+            raise _Skip
         ds_config.set_conv_dtype("bfloat16")
 
         @jax.jit
@@ -162,6 +180,8 @@ def main():
         np.asarray(kz[0, 0])
         dt = (time.time() - t0) / 10
         bank("train_bf16", step_ms=round(dt * 1e3, 2))
+    except _Skip:
+        pass
     except Exception as e:
         bank("train_bf16", error=str(e)[:300])
     finally:
