@@ -11,7 +11,8 @@ time — see PERFORMANCE.md "measurement gotchas"):
 3. bf16 train step (fwd+dx+dW) timing.
 
 Usage:  python tools/tpu_checks.py [nside]   (default 1024)
-Env:    TC_STAGES="1,2,3" selects stages (default all).
+Env:    TC_STAGES="1,2,4,3" selects stages (default all; 4 = Mosaic
+        bf16 construct probes for the bf16-I/O design).
 """
 
 import json
@@ -25,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NSIDE = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
 K, FIN, FOUT, BATCH = 5, 4, 4, 4
-STAGES = set(os.environ.get("TC_STAGES", "1,2,3").split(","))
+STAGES = set(os.environ.get("TC_STAGES", "1,2,4,3").split(","))
 
 
 def bank(name, **kv):
@@ -150,6 +151,92 @@ def main():
         pass
     except Exception as e:
         bank("conv_timing", error=str(e)[:300])
+
+    # -- stage 4: Mosaic bf16 construct probes ---------------------------
+    # (informs the bf16 HBM-I/O design: are 8-row DMA slices, sublane
+    # rolls, and masked sub-lane stores accepted for bf16 arrays?)
+    if "4" in STAGES:
+        from functools import partial
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def probe(name, build):
+            try:
+                out = jax.block_until_ready(build())
+                bank("probe_" + name, ok=True,
+                     checksum=float(np.asarray(out).astype(np.float32).sum()))
+            except Exception as e:
+                bank("probe_" + name, ok=False, error=str(e)[:200])
+
+        bf = jnp.bfloat16
+        xb = jnp.arange(48 * 256, dtype=jnp.float32).reshape(48, 256) / 997.0
+
+        def dma8_kernel(x_ref, o_ref, sc, sem):
+            c = pltpu.make_async_copy(x_ref.at[pl.ds(8, 16), :], sc, sem)
+            c.start()
+            c.wait()
+            o_ref[...] = sc[...]
+
+        def dma8():
+            return pl.pallas_call(
+                dma8_kernel,
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((16, 256), bf),
+                scratch_shapes=[pltpu.VMEM((16, 256), bf),
+                                pltpu.SemaphoreType.DMA],
+            )(xb.astype(bf))
+
+        probe("bf16_dma_8row", dma8)
+
+        def dma8off_kernel(x_ref, o_ref, sc, sem):
+            # offset 8, size 8: both sub-(16-row)-tile for bf16
+            c = pltpu.make_async_copy(x_ref.at[pl.ds(8, 8), :], sc, sem)
+            c.start()
+            c.wait()
+            o_ref[...] = sc[...]
+
+        def dma8off():
+            return pl.pallas_call(
+                dma8off_kernel,
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((8, 256), bf),
+                scratch_shapes=[pltpu.VMEM((8, 256), bf),
+                                pltpu.SemaphoreType.DMA],
+            )(xb.astype(bf))
+
+        probe("bf16_dma_8row_8size", dma8off)
+
+        def roll_kernel(x_ref, o_ref):
+            o_ref[...] = pltpu.roll(x_ref[...], 1, axis=0) + pltpu.roll(
+                x_ref[...], 1, axis=1
+            )
+
+        def roll():
+            return pl.pallas_call(
+                roll_kernel,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((48, 256), bf),
+            )(xb.astype(bf))
+
+        probe("bf16_roll", roll)
+
+        def substore_kernel(x_ref, o_ref):
+            o_ref[...] = jnp.zeros_like(o_ref)
+            o_ref[4:20, 0:8] = x_ref[4:20, 0:8]
+
+        def substore():
+            return pl.pallas_call(
+                substore_kernel,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((48, 256), bf),
+            )(xb.astype(bf))
+
+        probe("bf16_masked_substore", substore)
 
     # -- stage 3: bf16 train step timing ---------------------------------
     try:
