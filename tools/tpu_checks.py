@@ -11,8 +11,9 @@ time — see PERFORMANCE.md "measurement gotchas"):
 3. bf16 train step (fwd+dx+dW) timing.
 
 Usage:  python tools/tpu_checks.py [nside]   (default 1024)
-Env:    TC_STAGES="1,2,4,3" selects stages (default all; 4 = Mosaic
-        bf16 construct probes for the bf16-I/O design).
+Env:    TC_STAGES="0,1,2,4,3" selects stages (default all; 0 = f32
+        acceptance of the round-2 default path at TC_SMALL_NSIDE;
+        4 = Mosaic bf16 construct probes for the bf16-I/O design).
 """
 
 import json
@@ -25,8 +26,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NSIDE = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+SMALL_NSIDE = int(os.environ.get("TC_SMALL_NSIDE", 128))
 K, FIN, FOUT, BATCH = 5, 4, 4, 4
-STAGES = set(os.environ.get("TC_STAGES", "1,2,4,3").split(","))
+STAGES = set(os.environ.get("TC_STAGES", "0,1,2,4,3").split(","))
 
 
 def bank(name, **kv):
@@ -39,6 +41,11 @@ class _Skip(Exception):
 
 def main():
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon plugin forces platform priority "axon,cpu"; the env var
+        # alone is not honored — update the config (CPU smoke runs)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from deepsphere_tpu import config as ds_config
@@ -101,11 +108,76 @@ def main():
 
         return conv
 
+    # -- stage 0: f32 acceptance of the round-2 default path --------------
+    # (packed single-DMA lane strips + fused dx+dW are new constructs;
+    # verify Mosaic accepts them and the numbers match the XLA stencil
+    # path BEFORE spending 5-10 min compiles at the headline nside)
+    try:
+        if "0" not in STAGES:
+            raise _Skip
+        st, tables, xc, kernel = setup(SMALL_NSIDE)
+        h, n = st.n_steps, st.nside
+        y = jax.block_until_ready(conv_fn()(tables, xc, kernel))
+        ds_config.set_use_pallas("off")
+        try:
+            x_flat = jnp.transpose(
+                xc.reshape(BATCH, FIN, 12, n, -1)[:, :, :, :, h : h + n]
+                .reshape(BATCH, FIN, 12 * n * n),
+                (0, 2, 1),
+            )
+
+            @jax.jit
+            def conv_xla(tables, x, kernel):
+                return stencil_graph_conv(
+                    st, x, kernel, K, "cheby", tables=tables, layout="face"
+                )
+
+            y_ref = jax.block_until_ready(conv_xla(tables, x_flat, kernel))
+        finally:
+            ds_config.set_use_pallas("auto")
+        a = np.asarray(y[:, :, :, h : h + n]).reshape(BATCH, FOUT, -1)
+        b = np.transpose(np.asarray(y_ref), (0, 2, 1)).reshape(
+            BATCH, FOUT, -1
+        )
+        rel = float(np.abs(b - a).max() / max(np.abs(a).max(), 1e-8))
+        bank("f32_fwd_accept_128", rel_err=round(rel, 7), ok=rel < 1e-4)
+
+        # fused dx+dW vs the two-kernel backward
+        def grads():
+            def loss(xc, kernel):
+                yy = ps.fused_stencil_conv_cfp(
+                    st, tables, xc, kernel, K, "cheby", BATCH,
+                    interpret=interpret,
+                )
+                return jnp.sum(yy * yy)
+
+            return jax.jit(jax.grad(loss, argnums=(0, 1)))(xc, kernel)
+
+        dx1, dk1 = (jax.block_until_ready(g) for g in grads())
+        ds_config.set_fused_dw(False)
+        try:
+            dx2, dk2 = (jax.block_until_ready(g) for g in grads())
+        finally:
+            ds_config.set_fused_dw(True)
+        rdx = float(
+            np.abs(np.asarray(dx1 - dx2)[:, :, :, h : h + n]).max()
+            / max(np.abs(np.asarray(dx2)).max(), 1e-8)
+        )
+        rdk = float(np.abs(np.asarray(dk1 - dk2)).max()
+                    / max(np.abs(np.asarray(dk2)).max(), 1e-8))
+        bank("f32_fused_dw_accept_128", rel_dx=round(rdx, 7),
+             rel_dk=round(rdk, 7), ok=max(rdx, rdk) < 1e-4)
+        del st, tables, xc, kernel
+    except _Skip:
+        pass
+    except Exception as e:
+        bank("f32_accept_128", error=str(e)[:300])
+
     # -- stage 1: bf16 correctness on-chip at nside=128 ------------------
     try:
         if "1" not in STAGES:
             raise _Skip
-        st, tables, xc, kernel = setup(128)
+        st, tables, xc, kernel = setup(SMALL_NSIDE)
         y32 = jax.block_until_ready(conv_fn()(tables, xc, kernel))
         ds_config.set_conv_dtype("bfloat16")
         try:
