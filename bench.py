@@ -326,6 +326,61 @@ def main():
             ds_config.set_conv_dtype("float32")
         _progress(extra)
 
+    if os.environ.get("BENCH_BF16_IO", "1") == "1":
+        # stage B: bf16 HBM I/O — activations/strips/weight planes/output
+        # all bf16 in HBM, so the DMA bytes halve on top of the stage-A
+        # band mode (R widens to roundup(h, 16) for the 16-aligned bf16
+        # DMA row slices).  Chained iterations keep bf16 end to end.
+        import deepsphere_tpu.config as ds_config
+        from deepsphere_tpu.ops.stencil import stencil_tables as _st_tables
+
+        ds_config.set_conv_dtype("bfloat16_io")
+        try:
+            st_tables_io = jax.device_put(_st_tables(st, bf16_io=True))
+            x5h = x5.astype(jnp.bfloat16)
+
+            @jax.jit
+            def conv_io(tables, x5, kernel):
+                return stencil_graph_conv_cface(
+                    st, x5, kernel, K, "cheby", tables=tables
+                )
+
+            dt_i = _time(conv_io, st_tables_io, x5h, kernel)
+            extra["bf16_io_step_ms"] = round(dt_i * 1e3, 2)
+            extra["bf16_io_maps_per_s"] = round(BATCH / dt_i, 1)
+
+            @jax.jit
+            def train_io(tables, x5, kernel):
+                def loss(x5, kernel):
+                    y = stencil_graph_conv_cface(
+                        st, x5, kernel, K, "cheby", tables=tables
+                    )
+                    return jnp.sum(y.astype(jnp.float32) * y.astype(jnp.float32))
+
+                _, (dx, dk) = jax.value_and_grad(loss, argnums=(0, 1))(
+                    x5, kernel
+                )
+                return dx, kernel - 1e-12 * dk
+
+            z, kz = train_io(st_tables_io, x5h, kernel)
+            np.asarray(kz[0, 0])
+            for _ in range(3):
+                z, kz = train_io(st_tables_io, z, kz)
+            np.asarray(kz[0, 0])
+            t0 = time.time()
+            for _ in range(10):
+                z, kz = train_io(st_tables_io, z, kz)
+            np.asarray(kz[0, 0])
+            extra["bf16_io_train_step_ms"] = round(
+                (time.time() - t0) / 10 * 1e3, 2
+            )
+            del st_tables_io, x5h, z, kz
+        except Exception as e:
+            extra["bf16_io_error"] = str(e)[:160]
+        finally:
+            ds_config.set_conv_dtype("float32")
+        _progress(extra)
+
     if os.environ.get("BENCH_MODEL", "1") == "1":
         try:
             extra.update(_model_bench(jax, jnp, cache))

@@ -71,23 +71,28 @@ def resolve_contract(unroll: int) -> str:
 
 # Fused-kernel band compute dtype.  "float32" (default) runs the whole
 # recursion in f32 — bit-compatible with the XLA stencil path and the
-# <1e-5 TF2-parity target.  "bfloat16" casts the assembled band window and
-# weight planes to bf16 INSIDE the kernel: the Chebyshev/monomial
-# recursion (the VMEM-bandwidth-bound stage) runs at half the VMEM
-# traffic and the channel contraction feeds the MXU with native bf16
-# inputs (f32 accumulation via preferred_element_type).  Halo DMA and the
-# exact corner correction stay f32, so there is no new alignment
-# constraint.  Relative error vs f32 is ~1e-3..1e-2 — opt in for
-# throughput (inference / mixed-precision training), like Keras
-# mixed_bfloat16.
+# <1e-5 TF2-parity target.  "bfloat16" (stage A) casts the assembled band
+# window and weight planes to bf16 INSIDE the kernel: the Chebyshev /
+# monomial recursion (the VMEM-bandwidth-bound stage) runs at half the
+# VMEM traffic and the channel contraction feeds the MXU with native bf16
+# inputs (f32 accumulation via preferred_element_type).  HBM I/O and halo
+# DMA stay f32, so there is no new alignment constraint.  "bfloat16_io"
+# (stage B) additionally keeps the conv's HBM arrays (activations, halo
+# strips, weight planes, outputs) in bf16: HBM traffic and DMA bytes
+# halve on top of stage A.  DMA row slices must then be 16-aligned
+# (bf16 sublane tile is (16, 128)), so the window margin grows to
+# R = roundup(h, 16) and the face size must satisfy n % 16 == 0 — convs
+# that don't fit run stage A behavior on an f32 copy.  Relative error vs
+# f32 is ~1e-3..1e-2 for either stage — opt in for throughput
+# (inference / mixed-precision training), like Keras mixed_bfloat16.
 conv_dtype: str = "float32"
 
 
 def set_conv_dtype(name: str):
     global conv_dtype
-    if name not in ("float32", "bfloat16"):
+    if name not in ("float32", "bfloat16", "bfloat16_io"):
         raise ValueError(
-            f"conv_dtype must be float32/bfloat16, got {name}"
+            f"conv_dtype must be float32/bfloat16/bfloat16_io, got {name}"
         )
     conv_dtype = name
 
@@ -96,7 +101,15 @@ def band_dtype():
     """The jnp dtype the fused kernel's recursion runs in."""
     import jax.numpy as jnp
 
-    return jnp.bfloat16 if conv_dtype == "bfloat16" else jnp.float32
+    return jnp.float32 if conv_dtype == "float32" else jnp.bfloat16
+
+
+def conv_io_dtype():
+    """The dtype the fused kernel's HBM arrays (activations, strips,
+    weight planes, output) use when the conv structurally supports it."""
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if conv_dtype == "bfloat16_io" else jnp.float32
 
 
 # Fused dx+dW backward: compute the kernel cotangent inside the dx band

@@ -104,51 +104,76 @@ def fused_available(st: FaceStencil, kind, n_terms):
 def cfp_geometry(n, h):
     """(R, P_l) of the conv's native layout: R = roundup(h, 8) window
     margin, P_l = roundup(n + 2h, 128) padded lane width (face col y at
-    lane y + h)."""
+    lane y + h).  (R here is the f32 margin; the bf16-I/O kernel widens it
+    to roundup(h, 16) internally — P_l and the layout are unaffected.)"""
     return _round_up(h, 8), _round_up(n + 2 * h, 128)
 
 
-def _pick_band(n, R, P, C, cout, nplanes=9, io_blocks=2, band_bytes=4):
+def _sublane(iodt):
+    """DMA row-alignment granule for HBM arrays of this dtype: the sublane
+    tile is (8, 128) for f32 and (16, 128) for bf16 — row slices of DMA
+    descriptors must be aligned in offset AND size."""
+    return 16 if iodt == jnp.bfloat16 else 8
+
+
+def cfp_io_available(st: FaceStencil):
+    """Whether this conv can run with bf16 HBM I/O (stage B): the wider
+    R = roundup(h, 16) window margin must still satisfy the 16-aligned
+    DMA slicing constraints (n % 16 == 0, n >= R)."""
+    h = st.n_steps
+    return st.nside % 16 == 0 and st.nside >= _round_up(h, 16)
+
+
+def _pick_band(n, R, P, C, cout, nplanes=9, io_blocks=2, band_bytes=4,
+               io_bytes=4):
     """Row-band height Tr: the largest power-of-two band whose working set
     (recursion state + weight planes + accumulators + pipeline buffers)
     fits the VMEM budget.  ``io_blocks``: number of double-buffered
     (cout, Tr, P) pipeline blocks (2 = output only; the fused dx+dW kernel
     adds a double-buffered x input block -> 4).  ``band_bytes``: bytes per
     element of the recursion state (2 in bf16 band mode — the in-kernel
-    cast halves the live temporaries, affording a larger band)."""
+    cast halves the live temporaries, affording a larger band).
+    ``io_bytes``: bytes per element of the DMA scratch and pipeline blocks
+    (2 in bf16-I/O mode).  Bands must be ``align``-row aligned so every
+    DMA row slice is (align = sublane tile height of the I/O dtype)."""
     budget = int(os.environ.get("DS_PALLAS_VMEM_MB", "96")) * 2**20
+    align = 16 if io_bytes == 2 else 8
     for Tr in (512, 256, 128, 64, 32, 16, 8):
-        if Tr > n or n % Tr or Tr < R:
+        if Tr > n or n % Tr or Tr < R or Tr % align:
             continue
         Sd = Tr + 2 * R
         est = (
             # recursion state (prev2/prev1/t) + roll temps, band dtype
             band_bytes * 6 * C * Sd * P
-        ) + 4 * (
-            2 * (C + nplanes) * Sd * P  # double-buffered band scratch (f32)
+        ) + io_bytes * (
+            2 * (C + nplanes) * Sd * P  # double-buffered band scratch
             + 2 * C * Sd * 128  # double-buffered packed lane-strip scratch
-            + cout * Tr * P  # AXPY accumulators
             + io_blocks * cout * Tr * P  # double-buffered in/out blocks
+        ) + 4 * (
+            cout * Tr * P  # AXPY / dot accumulators (f32)
         )
         if est <= budget:
             return Tr
     # fallback under extreme VMEM pressure / odd R: the smallest divisor of
-    # n that is 8-aligned and >= R (n itself always qualifies — the
-    # structural gate requires n % 8 == 0 and n >= R), so the grid always
-    # covers all n rows.
-    for Tr in range(8, n + 1, 8):
+    # n that is align-aligned and >= R (n itself always qualifies — the
+    # structural gates require n % align == 0 and n >= R), so the grid
+    # always covers all n rows.
+    for Tr in range(align, n + 1, align):
         if n % Tr == 0 and Tr >= R:
             return Tr
     return n
 
 
-def _band_geometry(st, C, cout, io_blocks=2, bdt=None):
+def _band_geometry(st, C, cout, io_blocks=2, bdt=None, iodt=None):
     n = st.nside
     h = st.n_steps
-    R, P = cfp_geometry(n, h)
+    _, P = cfp_geometry(n, h)
+    R = _round_up(h, _sublane(iodt))
     band_bytes = 2 if bdt == jnp.bfloat16 else 4
+    io_bytes = 2 if iodt == jnp.bfloat16 else 4
     Tr = _pick_band(n, R, P, C, cout, nplanes=len(st.offsets),
-                    io_blocks=io_blocks, band_bytes=band_bytes)
+                    io_blocks=io_blocks, band_bytes=band_bytes,
+                    io_bytes=io_bytes)
     Sd = Tr + 2 * R
     return n, h, R, P, Tr, Sd
 
@@ -460,7 +485,8 @@ def _grad_kernel(kind, K, radius, contract, bdt, n, h, R, Tr, Sd, P, C,
                     s = None
                     for b in range(B):
                         c = jnp.sum(
-                            ctr[b * Fin + fi] * dy[b * Fout + fo],
+                            (ctr[b * Fin + fi] * dy[b * Fout + fo])
+                            .astype(jnp.float32),
                             keepdims=True,
                         )
                         s = c if s is None else s + c
@@ -549,7 +575,8 @@ def _dxdw_kernel(kind, K, radius, contract, bdt, n, h, R, Tr, Sd, P, C,
                     s = None
                     for b in range(B):
                         c = jnp.sum(
-                            xr[b * Fout + fx] * ctr[b * Fin + fc],
+                            (xr[b * Fout + fx] * ctr[b * Fin + fc])
+                            .astype(jnp.float32),
                             keepdims=True,
                         )
                         s = c if s is None else s + c
@@ -573,19 +600,58 @@ def _dxdw_kernel(kind, K, radius, contract, bdt, n, h, R, Tr, Sd, P, C,
         dw_ref[...] = dw_ref[...] + block
 
 
-def _resolve_contract_dtype(unroll):
+def _resolve_contract_dtype(unroll, iodt=None):
     """(contract strategy, band compute dtype) for a kernel launch.
 
     In bf16 band mode the AXPY path would either accumulate in bf16 or
     re-promote every product to f32, so ``auto`` routes to the MXU dot
     contraction (native bf16 inputs, f32 accumulation); an explicit
     ``set_contract_mode("axpy")`` still wins for A/B measurements.
+    bf16 HBM I/O (``iodt``) implies the bf16 band mode regardless of the
+    conv_dtype flag — the window arrives in bf16.
     """
     contract = config.resolve_contract(unroll)
     bdt = config.band_dtype()
+    if iodt == jnp.bfloat16:
+        bdt = jnp.bfloat16
     if bdt == jnp.bfloat16 and config.contract_mode == "auto":
         contract = "dot"
     return contract, bdt
+
+
+def reextend_weights(w, n, R0, R1, xp=np):
+    """Re-pack wrapped-extended weight planes (T2, F, n+2*R0, P) built with
+    window margin R0 into the (T2, F, n+2*R1, P) layout of a wider margin
+    R1 (bf16 I/O needs R = roundup(h, 16); the extra margin rows are
+    tolerated garbage, stored as zeros)."""
+    if R1 == R0:
+        return w
+    assert R1 > R0
+    z = xp.zeros(w.shape[:2] + (R1 - R0, w.shape[3]), dtype=w.dtype)
+    return xp.concatenate(
+        [w[:, :, 0:n], z, w[:, :, n : n + R0],
+         w[:, :, n + R0 : n + 2 * R0], z],
+        axis=2,
+    )
+
+
+def _io_weights(st, tables, iodt):
+    """The wrapped-extended weight planes in the kernel's I/O dtype.
+
+    f32: the stored table.  bf16 I/O: ``tables["weights_bf16"]`` (built
+    once by ``stencil_tables(st, bf16_io=True)`` — R16-extended, bf16);
+    when absent, fall back to an in-graph repack + cast (correct but
+    re-reads the f32 planes every call — fine for tests, wasteful on the
+    hot path)."""
+    if iodt != jnp.bfloat16:
+        return tables["weights"].astype(jnp.float32)
+    w16 = tables.get("weights_bf16")
+    if w16 is not None:
+        return w16.astype(jnp.bfloat16)
+    n, h = st.nside, st.n_steps
+    return reextend_weights(
+        tables["weights"], n, _round_up(h, 8), _round_up(h, 16), xp=jnp
+    ).astype(jnp.bfloat16)
 
 
 def _strip_arrays(st, xc, faces=None, bands=None):
@@ -602,7 +668,8 @@ def _strip_arrays(st, xc, faces=None, bands=None):
     from .stencil import edge_strips
 
     n, h = st.nside, st.n_steps
-    R, P_l = cfp_geometry(n, h)
+    _, P_l = cfp_geometry(n, h)
+    R = _round_up(h, _sublane(xc.dtype))  # margin matches the kernel's
     C = xc.shape[0]
     f32 = xc.dtype
     west, east, south, north = edge_strips(
@@ -636,9 +703,10 @@ def _run_stencil_kernel(st, kind, n_terms, xc, wext, strips, wk3, B,
     K, Fin, Fout = wk3.shape
     Cout = B * Fout
     nplanes = len(st.offsets)
-    contract, bdt = _resolve_contract_dtype(B * Fin * Fout * K)
+    iodt = xc.dtype  # wext/strips match by the callers' contract
+    contract, bdt = _resolve_contract_dtype(B * Fin * Fout * K, iodt)
     wkT = jnp.transpose(wk3, (0, 2, 1))  # (K, Fout, Fin) for the dot path
-    n, h, R, P, Tr, Sd = _band_geometry(st, C, Cout, bdt=bdt)
+    n, h, R, P, Tr, Sd = _band_geometry(st, C, Cout, bdt=bdt, iodt=iodt)
 
     kernel = partial(_stencil_kernel, kind, K, st.radius, contract, bdt, n,
                      h, R, Tr, Sd, P, C, Cout, B, Fin, Fout)
@@ -654,11 +722,11 @@ def _run_stencil_kernel(st, kind, n_terms, xc, wext, strips, wk3, B,
             (Cout, 1, Tr, P), lambda f, i: (0, f, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((Cout, F, n, P), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Cout, F, n, P), iodt),
         scratch_shapes=[
-            pltpu.VMEM((2, C, Sd, P), jnp.float32),
-            pltpu.VMEM((2, nplanes, Sd, P), jnp.float32),
-            pltpu.VMEM((2, C, Sd, 128), jnp.float32),
+            pltpu.VMEM((2, C, Sd, P), iodt),
+            pltpu.VMEM((2, nplanes, Sd, P), iodt),
+            pltpu.VMEM((2, C, Sd, 128), iodt),
             pltpu.SemaphoreType.DMA((2, 7)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -678,8 +746,9 @@ def _run_grad_kernel(st, kind, n_terms, xc, wext, strips, dy, B, Fin,
     Fout = Cout // B
     K = n_terms
     nplanes = len(st.offsets)
-    contract, bdt = _resolve_contract_dtype(B * Fin * Fout * K)
-    n, h, R, P, Tr, Sd = _band_geometry(st, C, Cout, bdt=bdt)
+    iodt = xc.dtype
+    contract, bdt = _resolve_contract_dtype(B * Fin * Fout * K, iodt)
+    n, h, R, P, Tr, Sd = _band_geometry(st, C, Cout, bdt=bdt, iodt=iodt)
 
     kernel = partial(_grad_kernel, kind, K, st.radius, contract, bdt, n, h,
                      R, Tr, Sd, P, C, Cout, B, Fin, Fout)
@@ -698,9 +767,9 @@ def _run_grad_kernel(st, kind, n_terms, xc, wext, strips, dy, B, Fin,
         ),
         out_shape=jax.ShapeDtypeStruct((K * Fin, Fout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, C, Sd, P), jnp.float32),
-            pltpu.VMEM((2, nplanes, Sd, P), jnp.float32),
-            pltpu.VMEM((2, C, Sd, 128), jnp.float32),
+            pltpu.VMEM((2, C, Sd, P), iodt),
+            pltpu.VMEM((2, nplanes, Sd, P), iodt),
+            pltpu.VMEM((2, C, Sd, 128), iodt),
             pltpu.SemaphoreType.DMA((2, 7)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -725,10 +794,11 @@ def _run_dxdw_kernel(st, kind, n_terms, dy, wext, strips, wk3t, xr, B,
     K, Fin, Fout = wk3t.shape  # pass roles: Fin = Fout_orig, Fout = Fin_orig
     Cout = B * Fout
     nplanes = len(st.offsets)
-    contract, bdt = _resolve_contract_dtype(B * Fin * Fout * K)
+    iodt = dy.dtype
+    contract, bdt = _resolve_contract_dtype(B * Fin * Fout * K, iodt)
     wkT = jnp.transpose(wk3t, (0, 2, 1))
     n, h, R, P, Tr, Sd = _band_geometry(st, C, Cout, io_blocks=4,
-                                       bdt=bdt)
+                                       bdt=bdt, iodt=iodt)
 
     kernel = partial(_dxdw_kernel, kind, K, st.radius, contract, bdt, n, h,
                      R, Tr, Sd, P, C, Cout, B, Fin, Fout)
@@ -757,13 +827,13 @@ def _run_dxdw_kernel(st, kind, n_terms, dy, wext, strips, wk3t, xr, B,
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Cout, F, n, P), jnp.float32),
+            jax.ShapeDtypeStruct((Cout, F, n, P), iodt),
             jax.ShapeDtypeStruct((K * Fout, Fin), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, C, Sd, P), jnp.float32),
-            pltpu.VMEM((2, nplanes, Sd, P), jnp.float32),
-            pltpu.VMEM((2, C, Sd, 128), jnp.float32),
+            pltpu.VMEM((2, C, Sd, P), iodt),
+            pltpu.VMEM((2, nplanes, Sd, P), iodt),
+            pltpu.VMEM((2, C, Sd, 128), iodt),
             pltpu.SemaphoreType.DMA((2, 7)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -946,24 +1016,35 @@ def _gather_corrections(st, dy):
 # ---------------------------------------------------------------------------
 
 
+def _io_dtype(st):
+    """The HBM I/O dtype this conv runs with: bf16 when the config asks
+    for it AND the geometry satisfies the 16-aligned DMA constraints."""
+    iodt = config.conv_io_dtype()
+    if iodt == jnp.bfloat16 and not cfp_io_available(st):
+        return jnp.float32
+    return iodt
+
+
 def _forward_cfp(st, kind, n_terms, B, interpret, tables, xc, kernel,
                  strips=None):
     """xc: (C, 12, n, P_l) native layout (C = B*Fin, b-major) ->
-    (Cout, 12, n, P_l).  Halo lanes of xc may be stale garbage — strips
+    (Cout, 12, n, P_l) in the conv's I/O dtype (f32, or bf16 in
+    ``bfloat16_io`` mode).  Halo lanes of xc may be stale garbage — strips
     are rebuilt from the interior every call unless the caller passes
     precomputed ``strips`` of this exact xc (the VJP shares the forward's
     strips with the dW pass; strip assembly is several ms at nside=1024)."""
     C = xc.shape[0]
     Fin = C // B
     Fout = kernel.shape[-1]
+    iodt = _io_dtype(st)
 
     wk3 = jnp.transpose(
         kernel.astype(jnp.float32).reshape(Fin, n_terms, Fout), (1, 0, 2)
     )  # (K, Fin, Fout)
-    xc = xc.astype(jnp.float32)
+    xc = xc.astype(iodt)
     if strips is None:
         strips = _strip_arrays(st, xc)
-    wext = tables["weights"].astype(jnp.float32)  # (9, 12, n+2R, P_l)
+    wext = _io_weights(st, tables, iodt)  # (9, 12, n+2R, P_l)
     y = _run_stencil_kernel(st, kind, n_terms, xc, wext, strips, wk3, B,
                             interpret)
     if tables["corr_src"].shape[0]:
@@ -997,19 +1078,22 @@ def fused_stencil_conv_cfp(st: FaceStencil, tables, xc, kernel, n_terms,
         return _forward_cfp(st, kind, n_terms, B, interpret, tables, xc,
                             kernel)
 
+    in_dtype = xc.dtype  # static: bwd returns dx in the primal input dtype
+
     def fwd(tables, xc, kernel):
-        xcf = xc.astype(jnp.float32)
+        xcf = xc.astype(_io_dtype(st))
         strips = _strip_arrays(st, xcf)
         y = _forward_cfp(st, kind, n_terms, B, interpret, tables, xcf,
                          kernel, strips=strips)
-        return y, (tables, xc, strips, kernel)
+        return y, (tables, xcf, strips, kernel)
 
     def bwd(res, dy):
-        tables, xc, strips, kernel = res
-        C = xc.shape[0]
+        tables, xcf, strips, kernel = res
+        iodt = xcf.dtype
+        C = xcf.shape[0]
         Fin = C // B
         Fout = kernel.shape[-1]
-        dy = dy.astype(jnp.float32)
+        dy = dy.astype(iodt)
 
         # dx: the patched forward computes the EXACT symmetric operator
         # y = sum_k T_k(L~) x W_k at every output row (corner rows via the
@@ -1023,8 +1107,7 @@ def fused_stencil_conv_cfp(st: FaceStencil, tables, xc, kernel, n_terms,
             .reshape(Fout * n_terms, Fin)
         )
         has_corr = bool(tables["corr_src"].shape[0])
-        xcf = xc.astype(jnp.float32)
-        wext = tables["weights"].astype(jnp.float32)
+        wext = _io_weights(st, tables, iodt)
 
         if config.fused_dw:
             # one band pass over dy computes BOTH dx and the face-exact
@@ -1047,7 +1130,7 @@ def fused_stencil_conv_cfp(st: FaceStencil, tables, xc, kernel, n_terms,
                 dx_fix = _corrected_rows(st, tables, dyf, wk3t, n_terms,
                                          kind, B)
                 dx = _patch_corrections(st, dx, dx_fix)
-            dx = dx.astype(xc.dtype)
+            dx = dx.astype(in_dtype)
             dwk = dwk2.reshape(n_terms, Fin, Fout)
             if has_corr:
                 tdy = _basis_at_rows(st, tables, dyf, n_terms, kind)
@@ -1062,7 +1145,7 @@ def fused_stencil_conv_cfp(st: FaceStencil, tables, xc, kernel, n_terms,
         else:
             dx = _forward_cfp(st, kind, n_terms, B, interpret, tables, dy,
                               kernel_t)
-            dx = dx.astype(xc.dtype)
+            dx = dx.astype(in_dtype)
             dy_clean = _zero_corrections(st, dy) if has_corr else dy
 
             # dW: per-term scalar contractions over the same band windows;

@@ -237,10 +237,28 @@ def extract_edge_bands(x3, n, h, embedded=False):
     return _extract_bands(x3, n, h, lane_off=h if embedded else 0)
 
 
-def stencil_tables(st: FaceStencil):
+def stencil_tables(st: FaceStencil, bf16_io=False):
     """The device-side arrays of a stencil, as a pytree dict (host numpy;
-    convert/donate at the jit boundary)."""
+    convert/donate at the jit boundary).
+
+    ``bf16_io=True`` additionally packs the weight planes re-extended to
+    the bf16-I/O kernel's wider R = roundup(h, 16) window margin and cast
+    to bf16 (key ``weights_bf16``) — build it ONCE here; the in-graph
+    fallback re-reads the f32 planes every conv call."""
+    extra = {}
+    if bf16_io:
+        import numpy as np
+
+        from .pallas_stencil import cfp_io_available, reextend_weights
+
+        if cfp_io_available(st):
+            h = st.n_steps
+            r8, r16 = -(-h // 8) * 8, -(-h // 16) * 16
+            extra["weights_bf16"] = np.asarray(
+                reextend_weights(st.weights, st.nside, r8, r16)
+            ).astype(jnp.bfloat16)
     return {
+        **extra,
         "weights": st.weights,
         "west_src": st.west_src,
         "west_mask": st.west_mask,

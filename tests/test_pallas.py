@@ -215,3 +215,54 @@ def test_bf16_band_mode_close_to_f32(rng, graph):
         a, b = np.asarray(a), np.asarray(b)
         tol = 3e-2 * max(np.abs(a).max(), 1e-3)
         np.testing.assert_allclose(b, a, atol=tol)
+
+
+def test_bf16_io_mode_close_to_f32(rng):
+    """config.conv_dtype="bfloat16_io" (stage B) keeps the conv's HBM
+    arrays in bf16: activations, halo strips, weight planes and outputs —
+    DMA bytes halve on top of the stage-A band mode.  The kernel widens
+    its window margin to R = roundup(h, 16) (bf16 DMA row slices must be
+    16-aligned), so this needs nside % 16 == 0; outputs/gradients must
+    track f32 within bf16 resolution.  Both the prebuilt R16 bf16 weight
+    table (stencil_tables(bf16_io=True)) and the in-graph repack fallback
+    are exercised."""
+    from deepsphere_tpu.ops.pallas_stencil import cfp_io_available
+
+    K, B, Fin, Fout = 5, 2, 2, 3
+    g16 = build_sphere_graph(16, k=8, method="grid")
+    st = g16.face_stencil(0.75, n_steps=K - 1)
+    assert cfp_io_available(st)
+    t32 = {k: jnp.asarray(v) for k, v in stencil_tables(st).items()}
+    t16 = {
+        k: jnp.asarray(v) for k, v in stencil_tables(st, bf16_io=True).items()
+    }
+    assert "weights_bf16" in t16
+    x = jnp.asarray(rng.normal(size=(B, g16.n_pixels, Fin)), jnp.float32)
+    kern = jnp.asarray(rng.normal(size=(Fin * K, Fout)), jnp.float32)
+
+    def loss(x, k, tables):
+        y = stencil_graph_conv(st, x, k, K, "cheby", tables=tables)
+        return jnp.sum(y.astype(jnp.float32) ** 2), y
+
+    (_, y32), (gx32, gk32) = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True
+    )(x, kern, t32)
+    cfg.set_conv_dtype("bfloat16_io")
+    try:
+        (_, y16), (gx16, gk16) = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True
+        )(x, kern, t16)
+        (_, y16b), _ = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True
+        )(x, kern, t32)  # no prebuilt bf16 table -> in-graph repack
+    finally:
+        cfg.set_conv_dtype("float32")
+    np.testing.assert_allclose(
+        np.asarray(y16b, np.float32), np.asarray(y16, np.float32),
+        atol=1e-6,
+    )
+    for a, b in ((y32, y16), (gx32, gx16), (gk32, gk16)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        tol = 3e-2 * max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(b, a, atol=tol)

@@ -7,7 +7,9 @@ family: K=5 Chebyshev, Fin=Fout=4, batch 4.
 
 Usage:  python tools/kbench.py [nside]
 Env:    KB_K, KB_FIN, KB_FOUT, KB_BATCH override the shape family;
-        KB_DTYPE=bfloat16 measures the bf16 band mode (config.conv_dtype).
+        KB_DTYPE=bfloat16 measures the bf16 band mode (config.conv_dtype);
+        KB_DTYPE=bfloat16_io measures the bf16 HBM-I/O mode (stage B:
+        bf16 activations/strips/planes/output, halved DMA bytes).
 """
 
 import os
@@ -70,10 +72,11 @@ def main():
     rng = np.random.RandomState(0)
     kernel = jnp.asarray(rng.normal(scale=0.1, size=(FIN * K, FOUT)), jnp.float32)
     x = jnp.asarray(rng.normal(size=(BATCH, npix, FIN)), jnp.float32)
-    tables = jax.device_put(stencil_tables(st))
     interpret = jax.default_backend() != "tpu"
     kb_dtype = os.environ.get("KB_DTYPE", "float32")
     ds_config.set_conv_dtype(kb_dtype)
+    io_mode = kb_dtype == "bfloat16_io"
+    tables = jax.device_put(stencil_tables(st, bf16_io=io_mode))
     if kb_dtype != "float32":
         print(f"band mode     : {kb_dtype}")
 
@@ -100,6 +103,8 @@ def main():
     xc = jax.block_until_ready(
         jax.jit(lambda x: cface_embed(x, n, h).reshape(BATCH * FIN, 12, n, -1))(x)
     )
+    if io_mode:  # HBM activations in bf16, as a bf16-I/O conv chain runs
+        xc = jax.block_until_ready(xc.astype(jnp.bfloat16))
     dt = timed(conv_cfp, tables, xc, kernel,
                chain=lambda a, out: (a[0], out, a[2]))
     results["conv_cfp"] = dt
@@ -107,7 +112,8 @@ def main():
 
     # kernel only: prebuilt strips + weight planes, bare pallas_call
     wk3 = jnp.transpose(kernel.reshape(FIN, K, FOUT), (1, 0, 2))
-    wext = tables["weights"].astype(jnp.float32)
+    wext = (tables["weights_bf16"] if io_mode
+            else tables["weights"].astype(jnp.float32))
 
     @jax.jit
     def strips_only(xc):
@@ -147,7 +153,7 @@ def main():
         def loss(xc, kernel):
             y = ps.fused_stencil_conv_cfp(st, tables, xc, kernel, K, "cheby",
                                           BATCH, interpret=interpret)
-            return jnp.sum(y * y)
+            return jnp.sum(y.astype(jnp.float32) ** 2)
 
         l, (dx, dk) = jax.value_and_grad(loss, argnums=(0, 1))(xc, kernel)
         return l, dx, dk

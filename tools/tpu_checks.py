@@ -11,9 +11,14 @@ time — see PERFORMANCE.md "measurement gotchas"):
 3. bf16 train step (fwd+dx+dW) timing.
 
 Usage:  python tools/tpu_checks.py [nside]   (default 1024)
-Env:    TC_STAGES="0,1,2,4,3" selects stages (default all; 0 = f32
-        acceptance of the round-2 default path at TC_SMALL_NSIDE;
-        4 = Mosaic bf16 construct probes for the bf16-I/O design).
+Env:    TC_STAGES selects stages (default all):
+        0 = f32 acceptance of the round-2 default path at TC_SMALL_NSIDE
+        1 = bf16 band-mode (stage A) correctness at TC_SMALL_NSIDE
+        2 = f32 + bf16 conv timing at the headline nside ("2f": f32 only)
+        3 = bf16 train-step timing
+        4 = Mosaic bf16 construct probes (informs the bf16-I/O design)
+        5 = bf16 HBM-I/O (stage B) correctness at TC_SMALL_NSIDE
+        6 = bf16 HBM-I/O conv + train timing at the headline nside
 """
 
 import json
@@ -28,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 NSIDE = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
 SMALL_NSIDE = int(os.environ.get("TC_SMALL_NSIDE", 128))
 K, FIN, FOUT, BATCH = 5, 4, 4, 4
-STAGES = set(os.environ.get("TC_STAGES", "0,1,2,4,3").split(","))
+STAGES = set(os.environ.get("TC_STAGES", "0,1,2,3,4,5,6").split(","))
 
 
 def bank(name, **kv):
@@ -223,6 +228,95 @@ def main():
         pass
     except Exception as e:
         bank("conv_timing", error=str(e)[:300])
+
+    # -- stage 5: bf16 HBM I/O (stage B) correctness on-chip --------------
+    try:
+        if "5" not in STAGES:
+            raise _Skip
+        from deepsphere_tpu.ops.stencil import stencil_tables as _stt
+
+        st, tables, xc, kernel = setup(SMALL_NSIDE)
+        h, n = st.n_steps, st.nside
+        y32 = jax.block_until_ready(conv_fn()(tables, xc, kernel))
+        ds_config.set_conv_dtype("bfloat16_io")
+        try:
+            tio = jax.device_put(_stt(st, bf16_io=True))
+            xio = xc.astype(jnp.bfloat16)
+            yio = jax.block_until_ready(conv_fn()(tio, xio, kernel))
+
+            # fused dx+dW through the io path
+            def loss(xio, kernel):
+                yy = ps.fused_stencil_conv_cfp(
+                    st, tio, xio, kernel, K, "cheby", BATCH,
+                    interpret=interpret,
+                )
+                return jnp.sum(yy.astype(jnp.float32) ** 2)
+
+            dx, dk = jax.jit(jax.grad(loss, argnums=(0, 1)))(xio, kernel)
+            jax.block_until_ready(dk)
+        finally:
+            ds_config.set_conv_dtype("float32")
+        a = np.asarray(y32[:, :, :, h : h + n], np.float32)
+        b = np.asarray(yio[:, :, :, h : h + n], np.float32)
+        rel = float(np.abs(b - a).max() / max(np.abs(a).max(), 1e-8))
+        bank("bf16_io_correct", nside=SMALL_NSIDE, rel_err=round(rel, 5),
+             ok=rel < 3e-2, grads_ok=bool(np.isfinite(np.asarray(dk)).all()))
+        del st, tables, xc, kernel, y32, yio, tio, xio, dx, dk
+    except _Skip:
+        pass
+    except Exception as e:
+        bank("bf16_io_correct", error=str(e)[:300])
+
+    # -- stage 6: bf16 I/O timing at the headline nside --------------------
+    try:
+        if "6" not in STAGES:
+            raise _Skip
+        from deepsphere_tpu.ops.stencil import stencil_tables as _stt
+
+        st, tables, xc, kernel = setup(NSIDE)
+        del tables
+        ds_config.set_conv_dtype("bfloat16_io")
+        try:
+            tio = jax.device_put(_stt(st, bf16_io=True))
+            xio = jax.block_until_ready(xc.astype(jnp.bfloat16))
+            del xc
+            geo = ps._band_geometry(st, BATCH * FIN, BATCH * FOUT,
+                                    bdt=jnp.bfloat16, iodt=jnp.bfloat16)
+            bank("geometry_bf16_io", Tr=int(geo[4]), R=int(geo[2]))
+            dt = timed(conv_fn(), tio, xio, kernel)
+            bank("conv_bf16_io", nside=NSIDE, step_ms=round(dt * 1e3, 2),
+                 maps_per_s=round(BATCH / dt, 1))
+
+            @jax.jit
+            def train_like_io(tables, xc, kernel):
+                def loss(xc, kernel):
+                    y = ps.fused_stencil_conv_cfp(
+                        st, tables, xc, kernel, K, "cheby", BATCH,
+                        interpret=interpret,
+                    )
+                    return jnp.sum(y.astype(jnp.float32) ** 2)
+
+                _, (dx, dk) = jax.value_and_grad(loss, argnums=(0, 1))(
+                    xc, kernel)
+                return dx, kernel - 1e-12 * dk
+
+            z, kz = train_like_io(tio, xio, kernel)
+            np.asarray(kz[0, 0])
+            for _ in range(3):
+                z, kz = train_like_io(tio, z, kz)
+            np.asarray(kz[0, 0])
+            t0 = time.time()
+            for _ in range(10):
+                z, kz = train_like_io(tio, z, kz)
+            np.asarray(kz[0, 0])
+            bank("train_bf16_io",
+                 step_ms=round((time.time() - t0) / 10 * 1e3, 2))
+        finally:
+            ds_config.set_conv_dtype("float32")
+    except _Skip:
+        pass
+    except Exception as e:
+        bank("bf16_io", error=str(e)[:300])
 
     # -- stage 4: Mosaic bf16 construct probes ---------------------------
     # (informs the bf16 HBM-I/O design: are 8-row DMA slices, sublane
