@@ -19,7 +19,7 @@ __version__ = "0.1.0"
 
 __all__ = ["HealpyGCNN", "logger", "__version__"]
 
-from . import graph, models, nn, ops, sphere, utils  # noqa: E402
+from . import graph, models, nn, ops, serve, sphere, utils  # noqa: E402
 
 # keep the reference import idiom working: `from deepsphere_tpu import healpy_layers as hp_nn`
 from .nn import healpy_layers  # noqa: E402

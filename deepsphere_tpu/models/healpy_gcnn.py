@@ -767,3 +767,26 @@ class HealpyGCNN:
             restored["graph_tables"] = self.variables["graph_tables"]
         self.variables = restored
         return self.variables
+
+    # ------------------------------------------------------------------
+    # serving export (self-contained StableHLO artifact)
+    # ------------------------------------------------------------------
+
+    def export_inference(self, *, batch_size=None, platforms=None):
+        """Lower inference to a ``jax.export.Exported`` with weights and
+        graph tables baked in — see :mod:`deepsphere_tpu.serve`."""
+        from ..serve import export_inference
+
+        return export_inference(
+            self, batch_size=batch_size, platforms=platforms
+        )
+
+    def save_exported(self, path, *, batch_size=None, platforms=None):
+        """Write a self-contained inference artifact (StableHLO) to
+        ``path``; load it anywhere with
+        :func:`deepsphere_tpu.serve.load_exported` (needs only jax)."""
+        from ..serve import save_exported
+
+        return save_exported(
+            path, self, batch_size=batch_size, platforms=platforms
+        )
