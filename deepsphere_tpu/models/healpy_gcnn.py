@@ -71,16 +71,25 @@ class SequentialModel(nn.Module):
 
     layers: Any  # dict name -> module
     order: Tuple[str, ...]
+    remat: bool = False  # per-layer jax.checkpoint: recompute activations
+    # on the backward pass instead of storing them — trades ~1 extra
+    # forward of FLOPs for O(depth) -> O(1) activation HBM, the standard
+    # TPU move for training deep stacks at nside >= 512
 
     @nn.compact
     def __call__(self, x, training=False):
+        def _run(mdl, xx):
+            if _accepts_training(mdl):
+                return mdl(xx, training=training)
+            return mdl(xx)
+
         for key in self.order:
             layer = self.layers[key]
             with jax.named_scope(f"{type(layer).__name__}_{key}"):
-                if _accepts_training(layer):
-                    x = layer(x, training=training)
+                if self.remat:
+                    x = nn.remat(_run)(layer, x)
                 else:
-                    x = layer(x)
+                    x = _run(layer, x)
         return x
 
 
@@ -123,6 +132,10 @@ class HealpyGCNN:
     :param graph_cache_dir: optional on-disk cache for built graphs
     :param kernel_width: optional Gaussian kernel width override for the
         graph edge weights
+    :param remat: checkpoint every layer (``jax.checkpoint`` via
+        ``nn.remat``): the backward pass recomputes activations instead of
+        storing them — one extra forward of FLOPs for O(1) activation HBM,
+        the standard trade for training deep stacks at nside >= 512
     """
 
     def __init__(
@@ -138,6 +151,7 @@ class HealpyGCNN:
         shard_cfg=None,
         graph_method="auto",
         internal_layout="auto",
+        remat=False,
     ):
         logger.info(
             "WARNING: This network assumes that everything concerning healpy "
@@ -149,6 +163,7 @@ class HealpyGCNN:
                 f"Choose either 8, 20, 40 or 60."
             )
 
+        self._remat = bool(remat)
         self.nside_in = nside
         self.indices_in = np.asarray(indices, dtype=np.int64)
         self.layers_in = list(layers)
@@ -238,7 +253,8 @@ class HealpyGCNN:
                 nm = f"{base}_{counts[base] - 1}"
             names.append(nm)
         self.module = SequentialModel(
-            layers=dict(zip(names, self._module_layers)), order=tuple(names)
+            layers=dict(zip(names, self._module_layers)), order=tuple(names),
+            remat=bool(getattr(self, "_remat", False)),
         )
         self.variables = None
 

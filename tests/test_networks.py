@@ -290,3 +290,67 @@ def test_smoothing_stencil_approximates_balltree(rng):
     v = layer.init(jax.random.key(0), ones)
     np.testing.assert_allclose(np.asarray(layer.apply(v, ones)), 1.0,
                                atol=1e-5)
+
+
+def test_remat_model_matches_plain(rng):
+    """remat=True (per-layer jax.checkpoint) must be a pure memory/FLOPs
+    trade: identical outputs, gradients, and BN statistic updates, and an
+    identical parameter tree (checkpoints interchangeable)."""
+    import jax
+
+    n_pix = hp.nside2npix(NSIDE)
+
+    def layers():
+        return [
+            hp_nn.HealpyChebyshev(K=5, Fout=6, activation="relu", use_bn=True),
+            hp_nn.HealpyPool(p=1, pool_type="AVG"),
+            hp_nn.HealpyMonomial(K=3, Fout=4, activation="elu", use_bn=True),
+            Flatten(),
+            Dense(3),
+        ]
+
+    m_plain = ds.HealpyGCNN(nside=NSIDE, indices=np.arange(n_pix),
+                            layers=layers())
+    m_remat = ds.HealpyGCNN(nside=NSIDE, indices=np.arange(n_pix),
+                            layers=layers(), remat=True)
+    assert m_remat.module.remat and not m_plain.module.remat
+
+    x = jnp.asarray(rng.normal(size=(4, n_pix, 1)), jnp.float32)
+    v = m_plain.init(0, x)
+    v_r = m_remat.init(0, x)
+    # identical tree structure -> weights interchangeable
+    assert jax.tree_util.tree_structure(v["params"]) == \
+        jax.tree_util.tree_structure(v_r["params"])
+    v_r = {**v_r, "params": v["params"]}
+
+    def loss(mod, variables, x):
+        y, upd = mod.apply(variables, x, training=True,
+                           mutable=["batch_stats"])
+        return jnp.sum(y ** 2), upd
+
+    (l1, upd1), g1 = jax.value_and_grad(
+        lambda p: loss(m_plain.module, {**v, "params": p}, x),
+        has_aux=True)(v["params"])
+    (l2, upd2), g2 = jax.value_and_grad(
+        lambda p: loss(m_remat.module, {**v_r, "params": p}, x),
+        has_aux=True)(v_r["params"])
+
+    # Tolerances are f32 reduction-order noise, NOT remat error: remat and
+    # plain are different XLA programs, and the BN backward amplifies the
+    # stencil conv's pinned-f32 contraction noise.  With the conv on the
+    # f64 ELLPACK path the two gradients are bit-identical (verified),
+    # so compare scale-aware here.
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+
+    def close(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-8
+        assert np.abs(a - b).max() <= 1e-3 * scale, (
+            np.abs(a - b).max(), scale
+        )
+
+    jax.tree_util.tree_map(close, g1, g2)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6),
+        upd1["batch_stats"], upd2["batch_stats"])
