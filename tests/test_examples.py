@@ -51,3 +51,9 @@ def test_advanced_masked_runs():
 @pytest.mark.slow
 def test_autoencoder_runs():
     _run_example("autoencoder.py", {"NSIDE": "8", "EPOCHS": "2"})
+
+
+def test_serving_runs():
+    out = _run_example("serving.py", {"NSIDE": "8",
+                                      "ARTIFACT": "/tmp/_ex_serve.dsx"})
+    assert "exported" in out and "batch   7: accuracy" in out

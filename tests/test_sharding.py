@@ -306,3 +306,90 @@ def test_face_sharded_cfp_conv_matches_unsharded(rng):
         )
     finally:
         cfg.set_use_pallas("auto")
+
+
+def test_data_iterator_global_batches(rng):
+    """Input pipeline: host-local numpy -> mesh-sharded global batches,
+    with shuffling per epoch and padded+masked trailing batches."""
+    from deepsphere_tpu.parallel import data_iterator, make_mesh
+
+    mesh = make_mesh(shape=(4, 2), axis_names=("data", "pixel"))
+    n, npix = 22, 48
+    x = rng.normal(size=(n, npix, 1)).astype(np.float32)
+    y = np.arange(n)
+
+    batches = list(data_iterator(mesh, x, y, batch_size=8, shuffle=True,
+                                 seed=1, drop_remainder=False))
+    assert len(batches) == 3
+    seen = []
+    for xb, yb, mask in batches:
+        assert xb.shape == (8, npix, 1) and yb.shape == (8,)
+        # sharded over the data axis: each addressable shard holds 2 rows
+        assert xb.sharding.shard_shape(xb.shape) == (2, npix, 1)
+        m = np.asarray(mask)
+        seen.extend(np.asarray(yb)[m].tolist())
+        # global batch content matches the source rows
+        np.testing.assert_allclose(
+            np.asarray(xb)[m], x[np.asarray(yb)[m]], atol=0
+        )
+    # one full epoch, each sample exactly once
+    assert sorted(seen) == list(range(n))
+
+    # drop_remainder: full batches only, no mask element
+    batches = list(data_iterator(mesh, x, y, batch_size=8, shuffle=False,
+                                 drop_remainder=True))
+    assert len(batches) == 2 and len(batches[0]) == 2
+
+    # indivisible batch errors
+    with pytest.raises(ValueError, match="divide"):
+        next(iter(data_iterator(mesh, x, y, batch_size=6)))
+
+
+def test_data_iterator_feeds_sharded_train_step(rng):
+    """End-to-end: iterator batches drive a jitted DP train step."""
+    import optax
+
+    import deepsphere_tpu as ds
+    from deepsphere_tpu.nn import healpy_layers as hp_nn
+    from deepsphere_tpu.parallel import data_iterator, make_mesh
+    from deepsphere_tpu.sphere import healpix as hp
+
+    mesh = make_mesh(shape=(8,), axis_names=("data",))
+    nside = 4
+    npix = hp.nside2npix(nside)
+    model = ds.HealpyGCNN(
+        nside=nside, indices=np.arange(npix),
+        layers=[
+            hp_nn.HealpyChebyshev(K=3, Fout=4, activation="relu"),
+            hp_nn.Flatten(),
+            hp_nn.Dense(2),
+        ],
+    )
+    x = rng.normal(size=(32, npix, 1)).astype(np.float32)
+    y = (rng.normal(size=32) > 0).astype(np.int32)
+    variables = model.init(0, jnp.asarray(x[:8]))
+    tx = optax.adam(1e-3)
+    opt = tx.init(variables["params"])
+
+    @jax.jit
+    def step(params, opt, xb, yb):
+        def loss_fn(p):
+            logits = model.module.apply(
+                {**variables, "params": p}, xb, training=False
+            )
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, yb
+            ).mean()
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        upd, opt = tx.update(g, opt)
+        return optax.apply_updates(params, upd), opt, loss
+
+    params = variables["params"]
+    losses = []
+    for xb, yb in data_iterator(mesh, x, y, batch_size=16, seed=0, epochs=3):
+        params, opt, loss = step(params, opt, xb, yb)
+        losses.append(float(loss))
+    assert len(losses) == 6
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
