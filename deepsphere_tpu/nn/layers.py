@@ -311,8 +311,13 @@ class _GraphPolyConv(nn.Module):
             if st is not None:
                 from ..ops.stencil import stencil_graph_conv, stencil_tables
 
+                # bf16-I/O needs the R16-extended bf16 weight planes built
+                # once here — set config.set_conv_dtype BEFORE model.build
                 tables = self.variable(
-                    "graph_tables", "stencil", lambda: stencil_tables(st)
+                    "graph_tables", "stencil",
+                    lambda: stencil_tables(
+                        st, bf16_io=config.conv_dtype == "bfloat16_io"
+                    ),
                 ).value
                 npix_full = 12 * st.nside * st.nside
                 if M != npix_full:
@@ -386,7 +391,10 @@ class _GraphPolyConv(nn.Module):
             init = self.initializer
         kernel = self.param("kernel", init, (Fin * n_terms, Fout), jnp.float32)
         tables = self.variable(
-            "graph_tables", "stencil", lambda: stencil_tables(st)
+            "graph_tables", "stencil",
+            lambda: stencil_tables(
+                st, bf16_io=config.conv_dtype == "bfloat16_io"
+            ),
         ).value
         if self.shard_cfg is not None:
             # faces on the mesh: the fused kernel runs per face shard with

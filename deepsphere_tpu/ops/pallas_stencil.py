@@ -187,10 +187,14 @@ def _band_copies(n, h, R, Tr, Sd, P, f, i, slot,
     Window row w holds face row ``i*Tr - R + w``; rows outside the h-deep
     real halo are tolerated garbage (it advances 1 row per recursion step
     and never reaches the center rows [R, R+Tr)).  All DMA row slices are
-    8-aligned in offset and size by construction.  Start and wait
-    reconstruct identical descriptors under identical predicates.
+    aligned in offset and size to the I/O dtype's sublane tile (8 rows for
+    f32, 16 for bf16 — _pick_band aligns Tr and _band_geometry aligns R to
+    the same granule).  Start and wait reconstruct identical descriptors
+    under identical predicates.
     """
     nbands = n // Tr  # static
+    # the compiler alignment promise must match the scratch dtype's tile
+    align = _sublane(xw2.dtype)
 
     def go(copies):
         for c in copies:
@@ -200,7 +204,7 @@ def _band_copies(n, h, R, Tr, Sd, P, f, i, slot,
         return pltpu.make_async_copy(src, dst, sems2.at[slot, k])
 
     def x_and_w(m0, size, d0):
-        m0 = pl.multiple_of(m0, 8)
+        m0 = pl.multiple_of(m0, align)
         return [
             dma(xc_ref.at[:, f, pl.ds(m0, size), :],
                 xw2.at[slot, :, pl.ds(d0, size), :], 0),
@@ -229,7 +233,7 @@ def _band_copies(n, h, R, Tr, Sd, P, f, i, slot,
         go(x_and_w(0, n, R) + top() + bot())
     else:
         # static-shape DMA per band position (pallas needs static sizes;
-        # row offsets stay 8-aligned because Tr and R are)
+        # row offsets stay align-aligned because Tr and R are)
         @pl.when(i == 0)
         def _():
             go(x_and_w(0, Tr + R, R) + top())
@@ -696,7 +700,7 @@ def _run_stencil_kernel(st, kind, n_terms, xc, wext, strips, wk3, B,
     xc: (C, F, n, P_l) (F = 12 faces, or a face shard); wext:
     (9, F, n+2R, P_l) wrapped-extended weight planes; strips:
     (top, bot, ls).  wk3: (K, Fin, Fout).
-    Returns (Cout, F, n, P_l) f32.
+    Returns (Cout, F, n, P_l) in xc's dtype (f32, or bf16 in I/O mode).
     """
     C = xc.shape[0]
     F = xc.shape[1]
@@ -1069,8 +1073,9 @@ def fused_stencil_conv_cfp(st: FaceStencil, tables, xc, kernel, n_terms,
         only the interior (lanes [h, h+n)) is read
     :param kernel: (Fin*n_terms, Fout)
     :param B: static batch size (the channel packing)
-    :return: (B*Fout, 12, n, P_l), float32; lanes outside the interior are
-        garbage
+    :return: (B*Fout, 12, n, P_l) in the conv I/O dtype (float32, or
+        bfloat16 under ``config.conv_dtype == "bfloat16_io"`` — reduce in
+        f32 on the caller side); lanes outside the interior are garbage
     """
 
     @partial(jax.custom_vjp, nondiff_argnums=())

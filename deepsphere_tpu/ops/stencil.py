@@ -249,13 +249,13 @@ def stencil_tables(st: FaceStencil, bf16_io=False):
     if bf16_io:
         import numpy as np
 
-        from .pallas_stencil import cfp_io_available, reextend_weights
+        from .pallas_stencil import _round_up, cfp_io_available, reextend_weights
 
         if cfp_io_available(st):
             h = st.n_steps
-            r8, r16 = -(-h // 8) * 8, -(-h // 16) * 16
             extra["weights_bf16"] = np.asarray(
-                reextend_weights(st.weights, st.nside, r8, r16)
+                reextend_weights(st.weights, st.nside,
+                                 _round_up(h, 8), _round_up(h, 16))
             ).astype(jnp.bfloat16)
     return {
         **extra,

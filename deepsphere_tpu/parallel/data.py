@@ -62,12 +62,18 @@ def data_iterator(mesh, x, y=None, batch_size=16, *, shuffle=True, seed=0,
         batch is possible (mask all-True for full batches)
     """
     x = np.asarray(x)
+    if y is not None:
+        y = np.asarray(y)
     n = x.shape[0]
-    ndev = int(mesh.shape[data_axis])
+    # ``batch_size`` is the PER-PROCESS batch: it must lay out evenly over
+    # this process's share of the data axis (multi-host: each host feeds
+    # its local slice; make_array_from_process_local_data assembles the
+    # global batch of batch_size * process_count rows)
+    ndev = max(1, int(mesh.shape[data_axis]) // jax.process_count())
     if batch_size % ndev:
         raise ValueError(
-            f"batch_size {batch_size} must divide over the {ndev}-way "
-            f"'{data_axis}' mesh axis"
+            f"batch_size {batch_size} must divide over this process's "
+            f"{ndev} devices on the '{data_axis}' mesh axis"
         )
     rng = np.random.RandomState(seed)
     emit_mask = (not drop_remainder) and (n % batch_size != 0)
@@ -85,7 +91,7 @@ def data_iterator(mesh, x, y=None, batch_size=16, *, shuffle=True, seed=0,
             xb = global_batch(mesh, x[sel], data_axis)
             out = (xb,)
             if y is not None:
-                out += (global_batch(mesh, np.asarray(y)[sel], data_axis),)
+                out += (global_batch(mesh, y[sel], data_axis),)
             if emit_mask:
                 out += (global_batch(mesh, mask, data_axis),)
             yield out if len(out) > 1 else out[0]

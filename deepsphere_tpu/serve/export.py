@@ -132,8 +132,20 @@ class ExportedModel:
         return self.exported.call(jnp.asarray(x, jnp.float32))
 
     def predict(self, x, batch_size=16):
-        """Keras-like convenience: chunked inference -> one numpy array."""
+        """Keras-like convenience: chunked inference -> one numpy array.
+
+        Needs a polymorphic-batch artifact (``batch_size=None`` at export
+        time) unless every chunk matches the baked batch dimension."""
         x = np.asarray(x)
+        baked = self.input_shape[0]
+        if isinstance(baked, int):
+            if x.shape[0] % baked:
+                raise ValueError(
+                    f"fixed-batch artifact (batch={baked}): predict needs "
+                    f"len(x) divisible by it, got {x.shape[0]} — export "
+                    f"with batch_size=None for arbitrary batches"
+                )
+            batch_size = baked
         outs = [
             np.asarray(self(x[i:i + batch_size]))
             for i in range(0, x.shape[0], batch_size)

@@ -76,6 +76,12 @@ def main():
     kb_dtype = os.environ.get("KB_DTYPE", "float32")
     ds_config.set_conv_dtype(kb_dtype)
     io_mode = kb_dtype == "bfloat16_io"
+    if io_mode and not ps.cfp_io_available(st):
+        print(f"bf16-I/O unsupported at nside={n} (needs nside % 16 == 0 "
+              f"and nside >= roundup(h,16)); measuring stage-A band mode")
+        kb_dtype = "bfloat16"
+        ds_config.set_conv_dtype(kb_dtype)
+        io_mode = False
     tables = jax.device_put(stencil_tables(st, bf16_io=io_mode))
     if kb_dtype != "float32":
         print(f"band mode     : {kb_dtype}")
