@@ -57,3 +57,10 @@ def test_serving_runs():
     out = _run_example("serving.py", {"NSIDE": "8",
                                       "ARTIFACT": "/tmp/_ex_serve.dsx"})
     assert "exported" in out and "batch   7: accuracy" in out
+
+
+@pytest.mark.slow  # 8-way SPMD interpret-Pallas compile is minutes on 1 core
+def test_multichip_train_runs():
+    out = _run_example("multichip_train.py", {"NSIDE": "8", "STEPS": "4",
+                                              "PIXEL": "4"})
+    assert "mesh: data=2 x pixel=4" in out and "step 4: loss" in out
