@@ -302,6 +302,18 @@ def main():
         extra["train_step_error"] = str(e)[:120]
     _progress(extra)
 
+    import deepsphere_tpu.config as _cfg_mod
+
+    if _cfg_mod.pallas_mode() is None and (
+        os.environ.get("BENCH_BF16", "1") == "1"
+        or os.environ.get("BENCH_BF16_IO", "1") == "1"
+    ):
+        # conv_dtype only affects the fused kernel; timing the XLA
+        # fallback would bank fake 'bf16' numbers
+        extra["bf16_error"] = "skipped: fused kernel inactive"
+        os.environ["BENCH_BF16"] = os.environ["BENCH_BF16_IO"] = "0"
+        _progress(extra)
+
     if os.environ.get("BENCH_BF16", "1") == "1":
         # opt-in bf16 band mode: recursion at half the VMEM traffic, MXU
         # bf16 contraction with f32 accumulation (config.conv_dtype)
@@ -416,8 +428,6 @@ def main():
         except Exception as e:
             extra["k20_error"] = str(e)[:160]
         _progress(extra)
-
-    _progress(extra)
 
     if os.environ.get("BENCH_GATHER_PATH", "1") == "1":
         # free the stencil-path buffers first: the gather path's basis

@@ -15,6 +15,7 @@ import os
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -438,18 +439,50 @@ class HealpySmoothing(nn.Module):
         conv_tables = {k: v for k, v in tables.items()
                        if k not in ("mask_ind", "mask_inv")}
         n_terms = apps + 1
+        rem0 = remaining.copy()
+
+        def chain(xbmc, conv_tables, fused):
+            rem = rem0.copy()
+            while rem.max() > 0:
+                j = np.minimum(rem, apps)
+                wk = np.zeros((C, n_terms, C), np.float32)
+                for c in range(C):
+                    wk[c, int(j[c]), c] = 1.0
+                xbmc = stencil_graph_conv(
+                    st, xbmc, jnp.asarray(wk.reshape(C * n_terms, C)),
+                    n_terms, "mono", tables=conv_tables, layout="face",
+                    fused=fused,
+                )
+                rem = rem - j
+            return xbmc
+
+        # The smoothing operator S is row-normalized, hence NOT symmetric —
+        # the fused kernel's custom VJP (built for the symmetric rescaled
+        # Laplacian) would silently backpropagate S instead of S^T.  The
+        # chain is linear in x, so run the fused kernel forward and take
+        # the EXACT gradient as the linear transpose of the per-step XLA
+        # chain (whose autodiff is plain jnp and therefore correct).
+        x_aval = jax.ShapeDtypeStruct((B, npix, C), jnp.float32)
+
+        @jax.custom_vjp
+        def smooth_chain(xbmc, conv_tables):
+            return chain(xbmc, conv_tables, "auto")
+
+        def _fwd(xbmc, conv_tables):
+            return smooth_chain(xbmc, conv_tables), conv_tables
+
+        def _bwd(conv_tables, dy):
+            tr = jax.linear_transpose(
+                lambda v: chain(v, conv_tables, "never"), x_aval
+            )
+            (dx,) = tr(dy)
+            return dx, jax.tree_util.tree_map(lambda _: None, conv_tables)
+
+        smooth_chain.defvjp(_fwd, _bwd)
+
         xface = jnp.take(x2d, tables["n2f"], axis=0)
         xbmc = jnp.transpose(xface.reshape(npix, B, C), (1, 0, 2))
-        while remaining.max() > 0:
-            j = np.minimum(remaining, apps)
-            wk = np.zeros((C, n_terms, C), np.float32)
-            for c in range(C):
-                wk[c, int(j[c]), c] = 1.0
-            xbmc = stencil_graph_conv(
-                st, xbmc, jnp.asarray(wk.reshape(C * n_terms, C)), n_terms,
-                "mono", tables=conv_tables, layout="face",
-            )
-            remaining = remaining - j
+        xbmc = smooth_chain(xbmc, conv_tables)
         y2d = jnp.transpose(xbmc, (1, 0, 2)).reshape(npix, B * C)
         y2d = jnp.take(y2d, tables["f2n"], axis=0)
         if M != npix:

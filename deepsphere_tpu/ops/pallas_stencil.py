@@ -1090,7 +1090,11 @@ def fused_stencil_conv_cfp(st: FaceStencil, tables, xc, kernel, n_terms,
         strips = _strip_arrays(st, xcf)
         y = _forward_cfp(st, kind, n_terms, B, interpret, tables, xcf,
                          kernel, strips=strips)
-        return y, (tables, xcf, strips, kernel)
+        # the fused dx+dW backward rebuilds its strips from dy and never
+        # reads these — keep them out of the residuals so they cannot be
+        # held live across the backward (~100+ MB at nside=1024 under
+        # jax.checkpoint / separate fwd-bwd compilation)
+        return y, (tables, xcf, None if config.fused_dw else strips, kernel)
 
     def bwd(res, dy):
         tables, xcf, strips, kernel = res
@@ -1152,6 +1156,8 @@ def fused_stencil_conv_cfp(st: FaceStencil, tables, xc, kernel, n_terms,
                               kernel_t)
             dx = dx.astype(in_dtype)
             dy_clean = _zero_corrections(st, dy) if has_corr else dy
+            if strips is None:  # fused_dw toggled between fwd/bwd traces
+                strips = _strip_arrays(st, xcf)
 
             # dW: per-term scalar contractions over the same band windows;
             # strips come from the forward residuals (same xc)

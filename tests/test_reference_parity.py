@@ -345,3 +345,33 @@ def test_sparse_attention_parity(ref, graphs, rng):
         stabilized=False,
     )
     assert np.abs(np.asarray(out) - out_ref).max() < 1e-5
+
+
+@pytest.mark.parametrize("method", ["knn", "grid"])
+@pytest.mark.parametrize("kind,K", [("cheby", 5), ("mono", 4)])
+def test_conv_parity_on_stencil_path(ref, graphs, rng, method, kind, K):
+    """The DEFAULT conv path (face stencil; grid graphs directly, kNN via
+    the capture window) must itself meet the <1e-5 reference target — the
+    other conv tests pin conv_method='ellpack', which would otherwise
+    leave the default path bounded only by the ellpack<1e-5 +
+    stencil-vs-ellpack<2e-5 composition."""
+    from deepsphere_tpu.nn.layers import ChebyshevConv, MonomialConv
+
+    g = graphs[method]
+    B, M, Fin, Fout = 2, g.n_pixels, 2, 3
+    x = rng.normal(size=(B, M, Fin)).astype(np.float32)
+    if kind == "cheby":
+        tf_layer = ref.gnn_layers.Chebyshev(L=g.L.copy(), K=K, Fout=Fout)
+        ours = ChebyshevConv(graph=g, K=K, Fout=Fout,
+                             conv_method="stencil")
+    else:
+        tf_layer = ref.gnn_layers.Monomial(L=g.L.copy(), K=K, Fout=Fout,
+                                           use_bias=True)
+        ours = MonomialConv(graph=g, K=K, Fout=Fout, use_bias=True,
+                            conv_method="stencil")
+    y_ref = tf_layer(tf.constant(x), training=False).numpy()
+    params = {"kernel": np.asarray(tf_layer.kernel.numpy())}
+    if kind == "mono":
+        params["bias"] = np.asarray(tf_layer.bias.numpy())
+    y, _ = _apply_ours(ours, params, x)
+    assert np.abs(y - y_ref).max() < 1e-5, np.abs(y - y_ref).max()

@@ -120,3 +120,36 @@ def test_fused_interpret_kernel_agrees(rng):
         cfg.use_pallas = old
     y_ref = _per_step_reference(op, x)
     np.testing.assert_allclose(y, y_ref, rtol=5e-6, atol=5e-6)
+
+
+def test_smoothing_gradient_is_transpose(rng):
+    """The smoothing operator S is row-normalized (NOT symmetric): the
+    backward pass must apply S^T, not S.  The fused path's gradient is a
+    linear_transpose of the exact XLA chain — it must match the pure-XLA
+    autodiff gradient to f32 noise (a symmetric-VJP regression shows up
+    at ~1e-2 here)."""
+    import deepsphere_tpu.config as cfg
+    from deepsphere_tpu.sphere import healpix as hp
+
+    nside = 8
+    npix = hp.nside2npix(nside)
+    op = SmoothingOperator(nside=nside, indices=np.arange(npix),
+                           sigma=400.0, method="stencil")
+    lay = HealpySmoothing(operator=op)
+    x = jnp.asarray(rng.normal(size=(2, npix, 1)), jnp.float32)
+    v = lay.init(jax.random.PRNGKey(0), x)
+
+    def grad_with(mode):
+        old = cfg.use_pallas
+        cfg.use_pallas = mode
+        try:
+            def loss(x):
+                return jnp.sum(jnp.sin(lay.apply(v, x)))
+            return np.asarray(jax.jit(jax.grad(loss))(x))
+        finally:
+            cfg.use_pallas = old
+
+    g_fused = grad_with("on")
+    g_xla = grad_with("off")
+    rel = np.abs(g_fused - g_xla).max() / np.abs(g_xla).max()
+    assert rel < 1e-5, rel

@@ -408,6 +408,8 @@ def main():
     try:
         if "3" not in STAGES:
             raise _Skip
+        if "st" not in dir():  # stage 2 didn't run (e.g. TC_STAGES="3")
+            st, tables, xc, kernel = setup(NSIDE)
         ds_config.set_conv_dtype("bfloat16")
 
         @jax.jit
