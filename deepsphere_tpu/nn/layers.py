@@ -403,12 +403,12 @@ class _GraphPolyConv(nn.Module):
 
             tables_dev = {k: jnp.asarray(v) for k, v in tables.items()}
             y = cface_model_conv(
-                st, tables_dev, x, kernel, n_terms, self._basis_kind,
+                st, tables_dev, x, kernel, n_terms, self.basis_kind,
                 self.shard_cfg,
             )
         else:
             y = stencil_graph_conv_cface(
-                st, x, kernel, n_terms, self._basis_kind, tables=tables
+                st, x, kernel, n_terms, self.basis_kind, tables=tables
             )
         if self.use_bn:
             y = _CfaceBatchNorm(

@@ -121,9 +121,20 @@ def bernstein_basis_ref(idx, val, x, n_terms):
             "ref_quirks Bernstein needs K >= 1 (the reference crashes at "
             "K=0: gnn_layers.py:542-554 never assigns its output buffer)"
         )
-    correct = bernstein_basis(idx, val, x, n_terms)
-    last = correct[K - 1] / (2.0**K)
-    return jnp.concatenate([correct[:K], last[None]], axis=0)
+    # terms 0..K-1 of the degree-K basis (powers only to L^{K-1}: the
+    # correct i=K term is never needed — the quirk reuses term K-1)
+    powers = [x]
+    for _ in range(K - 1):
+        powers.append(ellpack_spmv(idx, val, powers[-1]))
+    stack = []
+    for i in range(K):
+        theta = float(comb(K, i)) / (2.0**K)
+        y = powers[i]
+        for _ in range(K - i):
+            y = 2.0 * y - ellpack_spmv(idx, val, y)
+        stack.append(theta * y)
+    stack.append(stack[K - 1] / (2.0**K))
+    return jnp.stack(stack, axis=0)
 
 
 def graph_conv(basis, x, kernel, n_terms):

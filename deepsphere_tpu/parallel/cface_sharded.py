@@ -79,7 +79,14 @@ def cface_model_conv(st, tables, x5, kernel, n_terms, kind, cfg):
     Fout = kernel.shape[-1]
     # interpret mode everywhere except a real TPU compile: the sharded
     # path has no XLA fallback, and the multichip dryrun runs on virtual
-    # CPU devices
+    # CPU devices.  use_pallas="off" is an explicit opt-out the interpret
+    # cliff must not silently override (on TPU it would run ~1000x slow).
+    if config.use_pallas == "off":
+        raise ValueError(
+            "the face-sharded conv has no XLA fallback: with "
+            "use_pallas='off' build the model with internal_layout='nest' "
+            "(halo-sharded ELLPACK path) or re-enable the Pallas kernel"
+        )
     interpret = config.pallas_mode() != "compile"
     tspecs = {
         k: P(None, fa, None, None) if k == "weights" else P() for k in tables

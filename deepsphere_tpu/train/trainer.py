@@ -204,6 +204,13 @@ class Trainer:
                 f"WARNING: dropping the trailing partial batch of {rem} "
                 f"samples (not divisible by the {n_shards}-way data sharding)"
             )
+        if n == 0 or (drop_rem and n < batch_size):
+            raise ValueError(
+                f"no trainable batches: {n} samples with batch_size "
+                f"{batch_size} under {n_shards}-way data sharding — pad the "
+                f"dataset or use parallel.data_iterator (padded+masked "
+                f"trailing batches)"
+            )
 
         for epoch in range(epochs):
             order = rng.permutation(n) if shuffle else np.arange(n)

@@ -63,6 +63,9 @@ def test_shard_ellpack_spmv_matches_dense(graph, rng):
     # the default run and the other two behind the slow marker (~46 s)
     pytest.param("mono", 3, 1.0, marks=pytest.mark.slow),
     pytest.param("bern", 3, 0.75, marks=pytest.mark.slow),
+    # the ref-quirk Bernstein (BernsteinConv(ref_quirks=True)) must be
+    # usable on the sharded path too
+    pytest.param("bern_ref", 3, 0.75, marks=pytest.mark.slow),
 ])
 def test_sharded_poly_conv_matches_unsharded(graph, rng, kind, n_terms, scale):
     mesh = make_mesh(shape=(2, 4), axis_names=("data", "pixel"))
@@ -79,7 +82,8 @@ def test_sharded_poly_conv_matches_unsharded(graph, rng, kind, n_terms, scale):
 
     basis_fn = {"cheby": spmv_mod.chebyshev_basis,
                 "mono": spmv_mod.monomial_basis,
-                "bern": spmv_mod.bernstein_basis}[kind]
+                "bern": spmv_mod.bernstein_basis,
+                "bern_ref": spmv_mod.bernstein_basis_ref}[kind]
     idx, val = graph.ellpack(scale)
     want = np.asarray(
         graph_conv(

@@ -139,10 +139,12 @@ def main():
     results["kernel_fwd"] = dt
     print(f"kernel fwd    : {dt*1e3:8.2f} ms   {maps(dt):8.1f} maps/s")
 
-    # dW kernel (same band windows, scalar contractions)
-    dy = jax.block_until_ready(
-        jax.jit(lambda xc: jnp.tile(xc[: BATCH * FOUT], (1, 1, 1, 1)))(xc)
-    )
+    # dW kernel (same band windows, scalar contractions); dy must be a
+    # true (BATCH*FOUT, ...) cotangent — slicing xc would silently clamp
+    # to BATCH*FIN rows when FOUT > FIN and mismeasure the KB_FOUT shape
+    dy = jax.block_until_ready(jnp.asarray(
+        rng.normal(size=(BATCH * FOUT,) + xc.shape[1:]), xc.dtype
+    ))
 
     @jax.jit
     def grad_only(xc, wext, strips, dy):
