@@ -304,15 +304,16 @@ def main():
 
     import deepsphere_tpu.config as _cfg_mod
 
-    if _cfg_mod.pallas_mode() is None and (
-        os.environ.get("BENCH_BF16", "1") == "1"
-        or os.environ.get("BENCH_BF16_IO", "1") == "1"
-    ):
+    if _cfg_mod.pallas_mode() is None:
         # conv_dtype only affects the fused kernel; timing the XLA
         # fallback would bank fake 'bf16' numbers
-        extra["bf16_error"] = "skipped: fused kernel inactive"
+        if os.environ.get("BENCH_BF16", "1") == "1":
+            extra["bf16_error"] = "skipped: fused kernel inactive"
+        if os.environ.get("BENCH_BF16_IO", "1") == "1":
+            extra["bf16_io_error"] = "skipped: fused kernel inactive"
         os.environ["BENCH_BF16"] = os.environ["BENCH_BF16_IO"] = "0"
-        _progress(extra)
+        if "bf16_error" in extra or "bf16_io_error" in extra:
+            _progress(extra)
 
     if os.environ.get("BENCH_BF16", "1") == "1":
         # opt-in bf16 band mode: recursion at half the VMEM traffic, MXU

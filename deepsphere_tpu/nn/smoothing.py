@@ -462,8 +462,6 @@ class HealpySmoothing(nn.Module):
         # chain is linear in x, so run the fused kernel forward and take
         # the EXACT gradient as the linear transpose of the per-step XLA
         # chain (whose autodiff is plain jnp and therefore correct).
-        x_aval = jax.ShapeDtypeStruct((B, npix, C), jnp.float32)
-
         @jax.custom_vjp
         def smooth_chain(xbmc, conv_tables):
             return chain(xbmc, conv_tables, "auto")
@@ -472,8 +470,12 @@ class HealpySmoothing(nn.Module):
             return smooth_chain(xbmc, conv_tables), conv_tables
 
         def _bwd(conv_tables, dy):
+            # the chain maps (B, npix, C) -> (B, npix, C) in the input's
+            # dtype, so dy's aval IS the input aval (works for any dtype
+            # and under vmap; residuals cannot carry aval/dtype objects)
             tr = jax.linear_transpose(
-                lambda v: chain(v, conv_tables, "never"), x_aval
+                lambda v: chain(v, conv_tables, "never"),
+                jax.ShapeDtypeStruct(dy.shape, dy.dtype),
             )
             (dx,) = tr(dy)
             return dx, jax.tree_util.tree_map(lambda _: None, conv_tables)

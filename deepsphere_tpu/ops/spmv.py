@@ -28,6 +28,7 @@ __all__ = [
     "monomial_basis",
     "bernstein_basis",
     "bernstein_basis_ref",
+    "bernstein_terms",
     "graph_conv",
 ]
 
@@ -80,27 +81,46 @@ def monomial_basis(idx, val, x, K):
     return jnp.stack(stack, axis=0)
 
 
-def bernstein_basis(idx, val, x, n_terms):
-    """Bernstein basis stack, shape (n_terms = K+1, M, C).
+def bernstein_terms(matvec, x0, n_terms, quirk=False):
+    """Yield the Bernstein basis terms over an abstract ``matvec`` — the
+    ONE implementation shared by the ELLPACK, halo-sharded, and stencil
+    conv paths (the recursion is numerically delicate; keeping three
+    copies in sync caused real divergence risk).
 
-    Term i: comb(K, i)/2^K * (2I - L)^(K-i) L^i x (``gnn_layers.py:542-554``;
-    arXiv:2106.10994).  Note: the reference has an off-by-one quirk for the
-    i = K term (it reuses the previous loop iteration's buffer,
-    ``gnn_layers.py:549-553``); we implement the mathematically correct term.
+    Term i: comb(K, i)/2^K * (2I - L)^(K-i) L^i x (``gnn_layers.py:
+    542-554``; arXiv:2106.10994).  ``quirk=True`` reproduces the
+    reference's stale-buffer i = K term (it re-emits term K-1 divided by
+    2^K, ``gnn_layers.py:549-553``) — and skips the L^K power that the
+    correct term would need.
     """
     K = n_terms - 1
-    # prefix: L^i x for i = 0..K
-    powers = [x]
-    for _ in range(K):
-        powers.append(ellpack_spmv(idx, val, powers[-1]))
-    stack = []
+    if quirk and K < 1:
+        raise ValueError(
+            "ref_quirks Bernstein needs K >= 1 (the reference crashes at "
+            "K=0: gnn_layers.py:542-554 never assigns its output buffer)"
+        )
+    power = x0
+    prev = None
     for i in range(K + 1):
         theta = float(comb(K, i)) / (2.0**K)
-        y = powers[i]
+        if i == K and quirk:
+            yield prev / (2.0**K)
+            return
+        y = power
         for _ in range(K - i):
-            y = 2.0 * y - ellpack_spmv(idx, val, y)
-        stack.append(theta * y)
-    return jnp.stack(stack, axis=0)
+            y = 2.0 * y - matvec(y)
+        prev = theta * y
+        yield prev
+        if i < K:
+            power = matvec(power)
+
+
+def bernstein_basis(idx, val, x, n_terms):
+    """Bernstein basis stack, shape (n_terms = K+1, M, C) — see
+    :func:`bernstein_terms`.  We implement the mathematically correct
+    i = K term (the quirk variant is :func:`bernstein_basis_ref`)."""
+    mv = lambda y: ellpack_spmv(idx, val, y)
+    return jnp.stack(list(bernstein_terms(mv, x, n_terms)), axis=0)
 
 
 def bernstein_basis_ref(idx, val, x, n_terms):
@@ -115,26 +135,9 @@ def bernstein_basis_ref(idx, val, x, n_terms):
     ref_quirks=True)``.  K = 0 raises, as the reference does (NameError on
     the never-assigned ``x3``).
     """
-    K = n_terms - 1
-    if K < 1:
-        raise ValueError(
-            "ref_quirks Bernstein needs K >= 1 (the reference crashes at "
-            "K=0: gnn_layers.py:542-554 never assigns its output buffer)"
-        )
-    # terms 0..K-1 of the degree-K basis (powers only to L^{K-1}: the
-    # correct i=K term is never needed — the quirk reuses term K-1)
-    powers = [x]
-    for _ in range(K - 1):
-        powers.append(ellpack_spmv(idx, val, powers[-1]))
-    stack = []
-    for i in range(K):
-        theta = float(comb(K, i)) / (2.0**K)
-        y = powers[i]
-        for _ in range(K - i):
-            y = 2.0 * y - ellpack_spmv(idx, val, y)
-        stack.append(theta * y)
-    stack.append(stack[K - 1] / (2.0**K))
-    return jnp.stack(stack, axis=0)
+    mv = lambda y: ellpack_spmv(idx, val, y)
+    return jnp.stack(list(bernstein_terms(mv, x, n_terms, quirk=True)),
+                     axis=0)
 
 
 def graph_conv(basis, x, kernel, n_terms):

@@ -27,7 +27,6 @@ state in VMEM across all K steps.
 from __future__ import annotations
 
 import jax.numpy as jnp
-from scipy.special import comb
 
 from .. import config
 from ..graph.stencil import FaceStencil
@@ -371,27 +370,12 @@ def _term_stream(kind, matvec, x0, n_terms):
             t = matvec(t)
             yield t
     elif kind in ("bern", "bern_ref"):
-        # comb(K, i)/2^K * (2I - L)^(K-i) L^i x (gnn_layers.py:542-554).
-        # "bern_ref" reproduces the reference's stale-buffer quirk at i = K
-        # (see spmv.bernstein_basis_ref): the last term re-emits the
-        # previous one divided by 2^K.
-        K = n_terms - 1
-        if kind == "bern_ref" and K < 1:
-            raise ValueError("ref_quirks Bernstein needs K >= 1")
-        power = x0
-        prev = None
-        for i in range(K + 1):
-            theta = float(comb(K, i)) / (2.0**K)
-            if i == K and kind == "bern_ref":
-                yield prev / (2.0**K)
-                return
-            y = power
-            for _ in range(K - i):
-                y = 2.0 * y - matvec(y)
-            prev = theta * y
-            yield prev
-            if i < K:
-                power = matvec(power)
+        # the shared Bernstein recursion (see spmv.bernstein_terms), with
+        # the per-step stencil matvec as the L application
+        from .spmv import bernstein_terms
+
+        yield from bernstein_terms(matvec, x0, n_terms,
+                                   quirk=kind == "bern_ref")
     else:  # pragma: no cover
         raise ValueError(f"unknown basis kind: {kind}")
 

@@ -59,29 +59,10 @@ def _basis_stack(kind, spmv, x2d, n_terms):
             stack.append(spmv(stack[-1]))
         return stack
     if kind in ("bern", "bern_ref"):
-        from scipy.special import comb
+        from ..ops.spmv import bernstein_terms
 
-        K = n_terms - 1
-        if kind == "bern_ref" and K < 1:
-            raise ValueError("ref_quirks Bernstein needs K >= 1")
-        # bern_ref (the reference's stale-buffer i=K quirk,
-        # gnn_layers.py:542-554) reuses term K-1 as the last term — see
-        # ops.spmv.bernstein_basis_ref
-        n_powers = K if kind == "bern" else K - 1
-        powers = [x2d]
-        for _ in range(n_powers):
-            powers.append(spmv(powers[-1]))
-        stack = []
-        n_real = n_terms if kind == "bern" else K
-        for i in range(n_real):
-            theta = float(comb(K, i)) / (2.0**K)
-            y = powers[i]
-            for _ in range(K - i):
-                y = 2.0 * y - spmv(y)
-            stack.append(theta * y)
-        if kind == "bern_ref":
-            stack.append(stack[K - 1] / (2.0**K))
-        return stack
+        return list(bernstein_terms(spmv, x2d, n_terms,
+                                    quirk=kind == "bern_ref"))
     raise ValueError(f"unknown basis kind {kind}")
 
 

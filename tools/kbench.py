@@ -141,9 +141,11 @@ def main():
 
     # dW kernel (same band windows, scalar contractions); dy must be a
     # true (BATCH*FOUT, ...) cotangent — slicing xc would silently clamp
-    # to BATCH*FIN rows when FOUT > FIN and mismeasure the KB_FOUT shape
-    dy = jax.block_until_ready(jnp.asarray(
-        rng.normal(size=(BATCH * FOUT,) + xc.shape[1:]), xc.dtype
+    # to BATCH*FIN rows when FOUT > FIN and mismeasure the KB_FOUT shape.
+    # Generated on device: a host float64 array of this shape is ~1.8 GB
+    # at nside=1024.
+    dy = jax.block_until_ready(jax.random.normal(
+        jax.random.key(1), (BATCH * FOUT,) + xc.shape[1:], xc.dtype
     ))
 
     @jax.jit

@@ -408,7 +408,9 @@ def main():
     try:
         if "3" not in STAGES:
             raise _Skip
-        if "st" not in dir():  # stage 2 didn't run (e.g. TC_STAGES="3")
+        if any(nm not in dir() for nm in ("st", "tables", "xc", "kernel")):
+            # stage 2 didn't run, or a later-in-file stage deleted some of
+            # the arrays (stage 6 keeps st but dels tables/xc)
             st, tables, xc, kernel = setup(NSIDE)
         ds_config.set_conv_dtype("bfloat16")
 
