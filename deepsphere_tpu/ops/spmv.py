@@ -25,7 +25,9 @@ from .. import config
 __all__ = [
     "ellpack_spmv",
     "chebyshev_basis",
+    "chebyshev_terms",
     "monomial_basis",
+    "monomial_terms",
     "bernstein_basis",
     "bernstein_basis_ref",
     "bernstein_terms",
@@ -53,32 +55,43 @@ def ellpack_spmv(idx, val, x):
     return y
 
 
-def chebyshev_basis(idx, val, x, K):
-    """Chebyshev basis stack [T_0(L)x, ..., T_{K-1}(L)x], shape (K, M, C).
+def chebyshev_terms(matvec, x0, K):
+    """Yield [T_0(L)x, ..., T_{K-1}(L)x] over an abstract ``matvec``.
 
     Recurrence x_k = 2 L x_{k-1} - x_{k-2} (``gnn_layers.py:137-143``).
-    K is static; the loop unrolls into the jaxpr.
+    K is static; the loop unrolls into the jaxpr.  Shared by the ELLPACK,
+    halo-sharded, and stencil conv paths.
     """
-    stack = [x]
+    yield x0
     if K > 1:
-        x1 = ellpack_spmv(idx, val, x)
-        stack.append(x1)
-        x0 = x
+        x1 = matvec(x0)
+        yield x1
         for _ in range(2, K):
-            x2 = 2.0 * ellpack_spmv(idx, val, x1) - x0
-            stack.append(x2)
-            x0, x1 = x1, x2
-    return jnp.stack(stack, axis=0)
+            x0, x1 = x1, 2.0 * matvec(x1) - x0
+            yield x1
+
+
+def monomial_terms(matvec, x0, K):
+    """Yield [x, Lx, L^2 x, ...] over an abstract ``matvec``
+    (``gnn_layers.py:287-290``)."""
+    yield x0
+    for _ in range(1, K):
+        x0 = matvec(x0)
+        yield x0
+
+
+def chebyshev_basis(idx, val, x, K):
+    """Chebyshev basis stack, shape (K, M, C) — see
+    :func:`chebyshev_terms`."""
+    mv = lambda y: ellpack_spmv(idx, val, y)
+    return jnp.stack(list(chebyshev_terms(mv, x, K)), axis=0)
 
 
 def monomial_basis(idx, val, x, K):
-    """Monomial basis stack [x, Lx, L^2 x, ...], shape (K, M, C)
-    (``gnn_layers.py:287-290``)."""
-    stack = [x]
-    for _ in range(1, K):
-        x = ellpack_spmv(idx, val, x)
-        stack.append(x)
-    return jnp.stack(stack, axis=0)
+    """Monomial basis stack, shape (K, M, C) — see
+    :func:`monomial_terms`."""
+    mv = lambda y: ellpack_spmv(idx, val, y)
+    return jnp.stack(list(monomial_terms(mv, x, K)), axis=0)
 
 
 def bernstein_terms(matvec, x0, n_terms, quirk=False):

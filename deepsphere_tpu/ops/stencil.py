@@ -352,28 +352,16 @@ def stencil_matvec(st: FaceStencil, tables, xf):
 
 
 def _term_stream(kind, matvec, x0, n_terms):
-    """Yield the polynomial basis terms one at a time (never stacked)."""
-    if kind == "cheby":
-        # T_0 = x, T_1 = Lx, T_k = 2 L T_{k-1} - T_{k-2} (gnn_layers.py:137-143)
-        yield x0
-        if n_terms > 1:
-            t_prev, t = x0, matvec(x0)
-            yield t
-            for _ in range(2, n_terms):
-                t_prev, t = t, 2.0 * matvec(t) - t_prev
-                yield t
-    elif kind == "mono":
-        # x, Lx, L^2 x, ... (gnn_layers.py:287-290)
-        t = x0
-        yield t
-        for _ in range(1, n_terms):
-            t = matvec(t)
-            yield t
-    elif kind in ("bern", "bern_ref"):
-        # the shared Bernstein recursion (see spmv.bernstein_terms), with
-        # the per-step stencil matvec as the L application
-        from .spmv import bernstein_terms
+    """Yield the polynomial basis terms one at a time (never stacked) —
+    the shared recursions from :mod:`.spmv`, with the per-step stencil
+    matvec as the L application."""
+    from .spmv import bernstein_terms, chebyshev_terms, monomial_terms
 
+    if kind == "cheby":
+        yield from chebyshev_terms(matvec, x0, n_terms)
+    elif kind == "mono":
+        yield from monomial_terms(matvec, x0, n_terms)
+    elif kind in ("bern", "bern_ref"):
         yield from bernstein_terms(matvec, x0, n_terms,
                                    quirk=kind == "bern_ref")
     else:  # pragma: no cover

@@ -42,25 +42,13 @@ class ShardConfig:
 def _basis_stack(kind, spmv, x2d, n_terms):
     """Polynomial basis recursions on the local (m, C) block; each L
     application does one halo exchange."""
-    if kind == "cheby":
-        stack = [x2d]
-        if n_terms > 1:
-            x1 = spmv(x2d)
-            stack.append(x1)
-            x0 = x2d
-            for _ in range(2, n_terms):
-                x2 = 2.0 * spmv(x1) - x0
-                stack.append(x2)
-                x0, x1 = x1, x2
-        return stack
-    if kind == "mono":
-        stack = [x2d]
-        for _ in range(1, n_terms):
-            stack.append(spmv(stack[-1]))
-        return stack
-    if kind in ("bern", "bern_ref"):
-        from ..ops.spmv import bernstein_terms
+    from ..ops.spmv import bernstein_terms, chebyshev_terms, monomial_terms
 
+    if kind == "cheby":
+        return list(chebyshev_terms(spmv, x2d, n_terms))
+    if kind == "mono":
+        return list(monomial_terms(spmv, x2d, n_terms))
+    if kind in ("bern", "bern_ref"):
         return list(bernstein_terms(spmv, x2d, n_terms,
                                     quirk=kind == "bern_ref"))
     raise ValueError(f"unknown basis kind {kind}")
