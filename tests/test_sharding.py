@@ -397,3 +397,42 @@ def test_data_iterator_feeds_sharded_train_step(rng):
     assert len(losses) == 6
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.slow  # two cface-sharded convs -> minutes of SPMD interpret compile
+def test_sharded_autoencoder_matches_single(rng):
+    """Encoder/decoder (pseudo-conv down + transpose up) under DP x pixel
+    sharding must match the unsharded model — the upsampling path is the
+    autoencoder workload's backbone (reference generative_models.ipynb)."""
+    import deepsphere_tpu as ds
+    from deepsphere_tpu import config as cfg_mod
+    from deepsphere_tpu.nn import healpy_layers as hp_nn
+    from deepsphere_tpu.sphere import healpix as hp
+
+    cfg_mod.set_use_pallas("on")
+    try:
+        mesh = make_mesh(shape=(2, 4), axis_names=("data", "pixel"))
+        sc = ShardConfig(mesh=mesh)
+        nside = 8
+        npix = hp.nside2npix(nside)
+
+        def build(shard):
+            return ds.HealpyGCNN(
+                nside=nside, indices=np.arange(npix), layers=[
+                    hp_nn.HealpyPseudoConv(p=1, Fout=4),
+                    hp_nn.HealpyChebyshev(K=3, Fout=4, activation="relu"),
+                    hp_nn.HealpyPseudoConv_Transpose(p=1, Fout=2),
+                    hp_nn.HealpyChebyshev(K=3, Fout=1),
+                ], shard_cfg=shard,
+            )
+
+        x = jnp.asarray(rng.normal(size=(4, npix, 1)), jnp.float32)
+        m1, m2 = build(None), build(sc)
+        v1 = m1.init(0, x)
+        v2 = {**m2.init(0, x), "params": v1["params"]}
+        y1 = m1.module.apply(v1, x, training=False)
+        y2 = m2.module.apply(v2, x, training=False)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   atol=2e-6)
+    finally:
+        cfg_mod.set_use_pallas("auto")
