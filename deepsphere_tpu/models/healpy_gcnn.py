@@ -740,12 +740,13 @@ class HealpyGCNN:
         return self._trainer
 
     def fit(self, x, y, batch_size=16, epochs=1, validation_data=None,
-            shuffle=True, verbose=1):
+            shuffle=True, verbose=1, callbacks=None):
         if self.variables is None:
             self.build((batch_size,) + tuple(np.asarray(x).shape[1:]))
         return self._require_trainer().fit(
             x, y, batch_size=batch_size, epochs=epochs,
             validation_data=validation_data, shuffle=shuffle, verbose=verbose,
+            callbacks=callbacks,
         )
 
     def evaluate(self, x, y, batch_size=16, verbose=1):

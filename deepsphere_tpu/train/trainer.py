@@ -174,9 +174,24 @@ class Trainer:
                                self._place(x), self._place(y))
         return {k: float(v) for k, v in logs.items()}
 
+    def load_state_arrays(self, params, batch_stats):
+        """Replace the live params/batch_stats (e.g. restoring an
+        EarlyStopping snapshot); optimizer state is kept."""
+        import jax.numpy as jnp
+
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
+        s = self.state
+        self.state = TrainState(params, batch_stats, s.opt_state, s.step)
+        self.model.variables = self._variables(params, batch_stats)
+
     def fit(self, x, y, batch_size=16, epochs=1, validation_data=None, shuffle=True,
-            verbose=1, seed=0):
-        """Mini-batch epoch loop; returns a Keras-like history dict."""
+            verbose=1, seed=0, callbacks=None):
+        """Mini-batch epoch loop; returns a Keras-like history dict.
+
+        :param callbacks: list of :mod:`~.callbacks` objects — epoch-granular
+            hooks only (per-batch hooks would host-sync the hot loop)
+        """
         x = np.asarray(x)
         y = np.asarray(y)
         n = x.shape[0]
@@ -184,6 +199,11 @@ class Trainer:
         history = {}
         if self.state is None:
             self.init_state()
+        callbacks = list(callbacks or [])
+        self.stop_training = False
+        for cb in callbacks:
+            cb.set_trainer(self)
+            cb.on_train_begin()
 
         # Keras `fit` trains on the trailing partial batch; the remainder
         # shape triggers ONE extra jit specialization.  With a data
@@ -236,9 +256,15 @@ class Trainer:
             if verbose:
                 msg = " - ".join(f"{k}: {v:.4f}" for k, v in means.items())
                 logger.info(f"Epoch {epoch + 1}/{epochs} [{time.time() - t0:.2f}s] {msg}")
+            for cb in callbacks:
+                cb.on_epoch_end(epoch, means)
+            if self.stop_training:
+                break
 
         # sync back into the model wrapper for Keras-style continued use
         self.model.variables = self._variables(self.state.params, self.state.batch_stats)
+        for cb in callbacks:
+            cb.on_train_end()
         return history
 
     def evaluate(self, x, y, batch_size=16, verbose=1):

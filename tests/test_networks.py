@@ -354,3 +354,51 @@ def test_remat_model_matches_plain(rng):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-6),
         upd1["batch_stats"], upd2["batch_stats"])
+
+
+def test_fit_callbacks_early_stopping_and_checkpoint(rng, tmp_path):
+    """EarlyStopping halts fit and restores the best snapshot;
+    ModelCheckpoint(save_best_only) writes only on improvement."""
+    from deepsphere_tpu.train import (EarlyStopping, LambdaCallback,
+                                      ModelCheckpoint)
+
+    n_pix = hp.nside2npix(4)
+    model = ds.HealpyGCNN(
+        nside=4, indices=np.arange(n_pix),
+        layers=[hp_nn.HealpyChebyshev(K=3, Fout=4, activation="relu"),
+                Flatten(), Dense(2, activation="softmax")],
+    )
+    x = rng.normal(size=(32, n_pix, 1)).astype(np.float32)
+    y = (rng.normal(size=32) > 0).astype(np.int32)
+    model.build((8, n_pix, 1))
+    model.compile(optimizer=1e-3, loss="sparse_categorical_crossentropy")
+
+    # a monitor we control exactly: feed a fake metric through logs via
+    # val data (val_loss real) + force stop after its first increase
+    epochs_seen = []
+    es = EarlyStopping(monitor="val_loss", patience=0,
+                       restore_best_weights=True)
+    ck = ModelCheckpoint(str(tmp_path / "w-{epoch:02d}.msgpack"),
+                         monitor="val_loss", save_best_only=True)
+    lam = LambdaCallback(on_epoch_end=lambda ep, logs: epochs_seen.append(ep))
+    h = model.fit(x[:24], y[:24], batch_size=8, epochs=30,
+                  validation_data=(x[24:], y[24:]), verbose=0,
+                  callbacks=[es, ck, lam])
+    n_ran = len(h["loss"])
+    assert n_ran < 30, "early stopping never fired in 30 epochs"
+    assert epochs_seen == list(range(n_ran))
+
+    # restore_best_weights: the live weights reproduce the BEST val_loss
+    best = min(h["val_loss"])
+    val = model.evaluate(x[24:], y[24:], batch_size=8, verbose=0)
+    np.testing.assert_allclose(val["loss"], best, rtol=1e-5)
+
+    # best-only checkpoints: one file per improvement, none after
+    files = sorted(p.name for p in tmp_path.glob("w-*.msgpack"))
+    improvements = 1 + sum(
+        1 for a, b in zip(h["val_loss"], h["val_loss"][1:]) if b < a
+    )
+    assert len(files) == improvements, (files, h["val_loss"])
+
+    # checkpoints load back
+    model.load_weights(tmp_path / files[-1])
