@@ -309,6 +309,32 @@ def _assemble_window(n, h, R, Tr, Sd, P,
     return slot
 
 
+def _roll(x, shift, axis):
+    """``pltpu.roll`` that also works for 16-bit dtypes.
+
+    Mosaic lowers roll to ``tpu.dynamic_rotate``, which some libtpu
+    versions only implement for 32-bit data ("Rotate with non-32-bit
+    data").  bf16 packs two sublane rows per 32-bit register row, so a
+    lane rotate — and an even sublane rotate — of the ``pltpu.bitcast``
+    i32 view is exact (on-chip verified, see tools/tpu_checks.py stage 4);
+    odd sublane rotates round-trip through f32 (value-exact: f32 holds
+    every bf16 value).
+    """
+    shift = shift % x.shape[axis]
+    if shift == 0:
+        return x
+    if x.dtype.itemsize == 4:
+        return pltpu.roll(x, shift, axis=axis)
+    if axis == x.ndim - 1:
+        p = pltpu.bitcast(x, jnp.int32)
+        return pltpu.bitcast(pltpu.roll(p, shift, axis=axis), x.dtype)
+    assert axis == x.ndim - 2, "16-bit roll only on sublane/lane axes"
+    if shift % 2 == 0 and x.shape[axis] % 2 == 0:
+        p = pltpu.bitcast(x, jnp.int32)
+        return pltpu.bitcast(pltpu.roll(p, shift // 2, axis=axis), x.dtype)
+    return pltpu.roll(x.astype(jnp.float32), shift, axis=axis).astype(x.dtype)
+
+
 def _term_stream(kind, K, Sr, P, w, x0, radius=1):
     """Yield the K recursion terms on a full-size (C, Sr, P) band window.
 
@@ -336,15 +362,15 @@ def _term_stream(kind, K, Sr, P, w, x0, radius=1):
     for d, (dx, dy) in enumerate(offs[:-1]):
         wd = w[d : d + 1]
         if dx:
-            wd = pltpu.roll(wd, (Sr + dx) % Sr, axis=1)
+            wd = _roll(wd, (Sr + dx) % Sr, axis=1)
         groups.setdefault(dx, []).append((wd, dy))
     groups.setdefault(0, []).append((w[nc : nc + 1], 0))
 
     def lap(p):
         lanes = {0: p}
         for dy in range(1, radius + 1):
-            lanes[-dy] = pltpu.roll(p, dy, axis=2)  # p[.., j-dy]
-            lanes[dy] = pltpu.roll(p, P - dy, axis=2)  # p[.., j+dy]
+            lanes[-dy] = _roll(p, dy, axis=2)  # p[.., j-dy]
+            lanes[dy] = _roll(p, P - dy, axis=2)  # p[.., j+dy]
         t = None
         for dx, planes in groups.items():
             u = None
@@ -352,7 +378,7 @@ def _term_stream(kind, K, Sr, P, w, x0, radius=1):
                 c = wd * lanes[dy]
                 u = c if u is None else u + c
             if dx:
-                u = pltpu.roll(u, (Sr - dx) % Sr, axis=1)
+                u = _roll(u, (Sr - dx) % Sr, axis=1)
             t = u if t is None else t + u
         return t
 
