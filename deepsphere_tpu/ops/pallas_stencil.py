@@ -366,13 +366,13 @@ def _term_stream(kind, K, Sr, P, w, x0, radius=1):
         groups.setdefault(dx, []).append((wd, dy))
     groups.setdefault(0, []).append((w[nc : nc + 1], 0))
 
-    def lap(p):
+    def lap(p, g):
         lanes = {0: p}
         for dy in range(1, radius + 1):
             lanes[-dy] = _roll(p, dy, axis=2)  # p[.., j-dy]
             lanes[dy] = _roll(p, P - dy, axis=2)  # p[.., j+dy]
         t = None
-        for dx, planes in groups.items():
+        for dx, planes in g.items():
             u = None
             for wd, dy in planes:
                 c = wd * lanes[dy]
@@ -382,12 +382,22 @@ def _term_stream(kind, K, Sr, P, w, x0, radius=1):
             t = u if t is None else t + u
         return t
 
+    # Chebyshev fold: 2·lap_w(p) == lap_{2w}(p) exactly (×2 is an exponent
+    # bump), so pre-doubling the weight planes once per band (plane-sized,
+    # no C factor) saves one full-band multiply on every k>=2 lap.
+    groups2 = None
     yield x0
     prev2, prev1 = None, x0
     for k in range(1, K):
-        t = lap(prev1)
         if kind == "cheby" and k >= 2:
-            t = 2.0 * t - prev2
+            if groups2 is None:
+                groups2 = {
+                    dx: [(wd + wd, dy) for wd, dy in planes]
+                    for dx, planes in groups.items()
+                }
+            t = lap(prev1, groups2) - prev2
+        else:
+            t = lap(prev1, groups)
         yield t
         prev2, prev1 = prev1, t
 
