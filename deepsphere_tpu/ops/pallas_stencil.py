@@ -124,6 +124,25 @@ def cfp_io_available(st: FaceStencil):
     return st.nside % 16 == 0 and st.nside >= _round_up(h, 16)
 
 
+def _vmem_budget():
+    return int(os.environ.get("DS_PALLAS_VMEM_MB", "96")) * 2**20
+
+
+def _vmem_est(Tr, R, P, C, cout, nplanes, io_blocks, band_bytes, io_bytes):
+    """Working-set estimate of one kernel instance at band height Tr."""
+    Sd = Tr + 2 * R
+    return (
+        # recursion state (prev2/prev1/t) + roll temps, band dtype
+        band_bytes * 6 * C * Sd * P
+    ) + io_bytes * (
+        2 * (C + nplanes) * Sd * P  # double-buffered band scratch
+        + 2 * C * Sd * 128  # double-buffered packed lane-strip scratch
+        + io_blocks * cout * Tr * P  # double-buffered in/out blocks
+    ) + 4 * (
+        cout * Tr * P  # AXPY / dot accumulators (f32)
+    )
+
+
 def _pick_band(n, R, P, C, cout, nplanes=9, io_blocks=2, band_bytes=4,
                io_bytes=4):
     """Row-band height Tr: the largest power-of-two band whose working set
@@ -136,22 +155,13 @@ def _pick_band(n, R, P, C, cout, nplanes=9, io_blocks=2, band_bytes=4,
     ``io_bytes``: bytes per element of the DMA scratch and pipeline blocks
     (2 in bf16-I/O mode).  Bands must be ``align``-row aligned so every
     DMA row slice is (align = sublane tile height of the I/O dtype)."""
-    budget = int(os.environ.get("DS_PALLAS_VMEM_MB", "96")) * 2**20
+    budget = _vmem_budget()
     align = 16 if io_bytes == 2 else 8
     for Tr in (512, 256, 128, 64, 32, 16, 8):
         if Tr > n or n % Tr or Tr < R or Tr % align:
             continue
-        Sd = Tr + 2 * R
-        est = (
-            # recursion state (prev2/prev1/t) + roll temps, band dtype
-            band_bytes * 6 * C * Sd * P
-        ) + io_bytes * (
-            2 * (C + nplanes) * Sd * P  # double-buffered band scratch
-            + 2 * C * Sd * 128  # double-buffered packed lane-strip scratch
-            + io_blocks * cout * Tr * P  # double-buffered in/out blocks
-        ) + 4 * (
-            cout * Tr * P  # AXPY / dot accumulators (f32)
-        )
+        est = _vmem_est(Tr, R, P, C, cout, nplanes, io_blocks, band_bytes,
+                        io_bytes)
         if est <= budget:
             return Tr
     # fallback under extreme VMEM pressure / odd R: the smallest divisor of
@@ -423,13 +433,38 @@ def _stencil_kernel(kind, K, radius, contract, bdt, n, h, R, Tr, Sd, P, C,
     x0 = xw[slot].astype(bdt)
     w = ww[slot].astype(bdt)
 
-    kb_mode = config.kernel_bisect()  # kernel-cost bisection (dev only)
-    if kb_mode == "norecur":
+    kb = set(config.kernel_bisect().split(","))  # kernel-cost bisection
+    kb_mode = config.kernel_bisect()  # (dev only; comma-combinable)
+    if "norecur" in kb:
         terms = [(k, x0) for k in range(K)]
     else:
         terms = enumerate(_term_stream(kind, K, Sd, P, w, x0, radius))
 
-    if contract == "dot" and kb_mode != "nocontract":
+    if contract == "dots" and "nocontract" not in kb:
+        # stacked MXU contraction: retain the K term centers, then ONE
+        # (Fout, K*Fin) x (K*Fin, Tr*P) matmul per batch — K x fewer MXU
+        # passes than the per-(term, batch) dot and no per-term accumulate
+        # adds on the VPU.  Engaged only when the K retained center slices
+        # fit the VMEM budget (see _run_stencil_kernel).  wkT_ref is
+        # (Fout, K*Fin) in this mode, column index = k*Fin + fi.
+        prec = (config.precision() if bdt == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        ctrs = [t[:, R : R + Tr, :] for _, t in terms]
+        outs = []
+        for b in range(B):
+            ab = jnp.concatenate(
+                [c[b * Fin : (b + 1) * Fin] for c in ctrs], axis=0
+            ).reshape(K * Fin, Tr * P)
+            yb = jnp.dot(
+                wkT_ref[...].astype(bdt), ab,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            outs.append(yb.reshape(Fout, Tr, P))
+        y = outs[0] if B == 1 else jnp.concatenate(outs, axis=0)
+        out_ref[:, 0] = y.astype(out_ref.dtype)
+        return
+
+    if contract == "dot" and "nocontract" not in kb:
         # per-(term, batch) MXU matmul (Fout, Fin) x (Fin, Tr*P): O(B*K)
         # emitted ops instead of the O(B*Fin*Fout*K) scalar-AXPY unroll —
         # the unroll count is also Mosaic COMPILE time, which explodes at
@@ -455,7 +490,7 @@ def _stencil_kernel(kind, K, radius, contract, bdt, n, h, R, Tr, Sd, P, C,
     acc = [None] * Cout
     for k, t in terms:
         ctr = t[:, R : R + Tr, :]  # (C, Tr, P)
-        if kb_mode == "nocontract":
+        if "nocontract" in kb:
             acc = [ctr[co % C] for co in range(Cout)]
             continue
         for b in range(B):
@@ -747,6 +782,15 @@ def _run_stencil_kernel(st, kind, n_terms, xc, wext, strips, wk3, B,
     contract, bdt = _resolve_contract_dtype(B * Fin * Fout * K, iodt)
     wkT = jnp.transpose(wk3, (0, 2, 1))  # (K, Fout, Fin) for the dot path
     n, h, R, P, Tr, Sd = _band_geometry(st, C, Cout, bdt=bdt, iodt=iodt)
+    if contract == "dot":
+        # upgrade to the stacked contraction when the K retained center
+        # slices fit on top of the band working set (see _stencil_kernel)
+        bb = 2 if bdt == jnp.bfloat16 else 4
+        ib = 2 if iodt == jnp.bfloat16 else 4
+        est = _vmem_est(Tr, R, P, C, Cout, nplanes, 2, bb, ib)
+        if est + K * C * Tr * P * bb <= _vmem_budget():
+            contract = "dots"
+            wkT = jnp.transpose(wk3, (2, 0, 1)).reshape(Fout, K * Fin)
 
     kernel = partial(_stencil_kernel, kind, K, st.radius, contract, bdt, n,
                      h, R, Tr, Sd, P, C, Cout, B, Fin, Fout)
