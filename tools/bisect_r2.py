@@ -114,6 +114,76 @@ def main():
     finally:
         ds_config.set_contract_mode("auto")
 
+    # kernel-only: the pallas_call with prebuilt strips/weights — isolates
+    # the XLA-side per-conv work (strip rebuild + corner correction)
+    try:
+        wk3 = jnp.transpose(
+            kernel.astype(jnp.float32).reshape(FIN, K, FOUT), (1, 0, 2)
+        )
+        strips = jax.block_until_ready(
+            jax.jit(lambda x: ps._strip_arrays(st, x))(xc)
+        )
+        wext = tables["weights"].astype(jnp.float32)
+
+        @jax.jit
+        def conv_k(strips, xc, wk3):
+            return ps._run_stencil_kernel(
+                st, "cheby", K, xc, wext, strips, wk3, BATCH, interpret
+            )
+
+        z = conv_k(strips, xc, wk3)
+        np.asarray(z[0, 0, 0, 0])
+        for _ in range(3):
+            z = conv_k(strips, z, wk3)
+        np.asarray(z[0, 0, 0, 0])
+        t0 = time.time()
+        for _ in range(20):
+            z = conv_k(strips, z, wk3)
+        np.asarray(z[0, 0, 0, 0])
+        results["kernel_only_ms"] = round((time.time() - t0) / 20 * 1e3, 2)
+        bank("kernel_only", step_ms=results["kernel_only_ms"])
+    except Exception as e:
+        bank("kernel_only", error=str(e)[:300])
+
+    # strips-only: the per-conv strip rebuild
+    try:
+        @jax.jit
+        def strips_fn(x):
+            t, b, ls = ps._strip_arrays(st, x)
+            # full checksums: single-element reads would let XLA dead-code
+            # eliminate most of the strip build
+            return x + 0.0 * (jnp.sum(t) + jnp.sum(b) + jnp.sum(ls))
+
+        z = strips_fn(xc)
+        np.asarray(z[0, 0, 0, 0])
+        t0 = time.time()
+        for _ in range(20):
+            z = strips_fn(z)
+        np.asarray(z[0, 0, 0, 0])
+        results["strips_ms"] = round((time.time() - t0) / 20 * 1e3, 2)
+        bank("strips_only", step_ms=results["strips_ms"])
+    except Exception as e:
+        bank("strips_only", error=str(e)[:300])
+
+    # corners-only: exact ball recursion + patch updates
+    try:
+        @jax.jit
+        def corners_fn(tables, y, wk3):
+            y_fix = ps._corrected_rows(st, tables, y, wk3, K, "cheby",
+                                       BATCH)
+            return ps._patch_corrections(st, y, y_fix)
+
+        z = corners_fn(tables, xc, wk3)
+        np.asarray(z[0, 0, 0, 0])
+        t0 = time.time()
+        for _ in range(20):
+            z = corners_fn(tables, z, wk3)
+        np.asarray(z[0, 0, 0, 0])
+        results["corners_ms"] = round((time.time() - t0) / 20 * 1e3, 2)
+        bank("corners_only", step_ms=results["corners_ms"])
+    except Exception as e:
+        bank("corners_only", error=str(e)[:300])
+
     # Tr slope: smaller VMEM budget -> Tr=32 -> 2x the band count; the
     # time delta isolates the per-band fixed overhead
     os.environ["DS_PALLAS_VMEM_MB"] = "64"
@@ -125,6 +195,46 @@ def main():
         bank("tr32", error=str(e)[:300])
     finally:
         os.environ.pop("DS_PALLAS_VMEM_MB", None)
+
+    # train-step A/B: the fused dx+dW backward's dW side is 320 VPU
+    # mul+reduce ops in axpy mode but two MXU dot_generals (contraction
+    # over Tr*P) in dot mode — likely the bulk of the 38 ms train step
+    def timed_train(n_iters=10):
+        @jax.jit
+        def train_like(tables, xc, kernel):
+            def loss(xc, kernel):
+                y = ps.fused_stencil_conv_cfp(
+                    st, tables, xc, kernel, K, "cheby", BATCH,
+                    interpret=interpret,
+                )
+                return jnp.sum(y * y)
+
+            _, (dx, dk) = jax.value_and_grad(loss, argnums=(0, 1))(
+                xc, kernel
+            )
+            return dx, kernel - 1e-12 * dk
+
+        z, kz = train_like(tables, xc, kernel)
+        np.asarray(kz[0, 0])
+        for _ in range(3):
+            z, kz = train_like(tables, z, kz)
+        np.asarray(kz[0, 0])
+        t0 = time.time()
+        for _ in range(n_iters):
+            z, kz = train_like(tables, z, kz)
+        np.asarray(kz[0, 0])
+        return (time.time() - t0) / n_iters
+
+    for mode, label in (("axpy", "train_axpy"), ("dot", "train_dot")):
+        ds_config.set_contract_mode(mode)
+        try:
+            dt = timed_train()
+            results[label + "_ms"] = round(dt * 1e3, 2)
+            bank(label, step_ms=results[label + "_ms"])
+        except Exception as e:
+            bank(label, error=str(e)[:300])
+        finally:
+            ds_config.set_contract_mode("auto")
 
     if "norecur_ms" in results and "nocontract_ms" in results:
         full = results["full_ms"]
