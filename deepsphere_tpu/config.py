@@ -73,10 +73,13 @@ def resolve_contract(unroll: int) -> str:
 # recursion in f32 — bit-compatible with the XLA stencil path and the
 # <1e-5 TF2-parity target.  "bfloat16" (stage A) casts the assembled band
 # window and weight planes to bf16 INSIDE the kernel: the Chebyshev /
-# monomial recursion (the VMEM-bandwidth-bound stage) runs at half the
-# VMEM traffic and the channel contraction feeds the MXU with native bf16
-# inputs (f32 accumulation via preferred_element_type).  HBM I/O and halo
-# DMA stay f32, so there is no new alignment constraint.  "bfloat16_io"
+# monomial recursion runs at half the VMEM traffic and the channel
+# contraction feeds the MXU with native bf16 inputs (f32 accumulation via
+# preferred_element_type).  HBM I/O and halo DMA stay f32, so there is no
+# new alignment constraint.  NOTE (measured on-chip, v5e): the recursion
+# is VPU-ALU-bound and this VPU does not run packed-2x bf16 elementwise
+# ops, so the band mode is ~40% SLOWER than f32 at the headline config —
+# its value is VMEM headroom (bigger bands / wider models), not speed.  "bfloat16_io"
 # (stage B) additionally keeps the conv's HBM arrays (activations, halo
 # strips, weight planes, outputs) in bf16: HBM traffic and DMA bytes
 # halve on top of stage A.  DMA row slices must then be 16-aligned
