@@ -129,6 +129,21 @@ def set_fused_dw(on: bool):
     fused_dw = bool(on)
 
 
+# Halo-strip assembly for the fused conv: "auto" runs the single-launch
+# Pallas builder (ops/pallas_strips.py) whenever the conv itself compiles
+# to TPU and the builder covers the config (full sphere, f32 I/O) — the
+# XLA formulation is op-launch-bound (~5.3 ms/conv at nside=1024, a third
+# of the conv step).  "xla" forces the reference assembly; "pallas"
+# forces the builder even in interpret mode (tests).
+strips_mode: str = "auto"
+
+
+def set_strips_mode(mode: str):
+    assert mode in ("auto", "xla", "pallas"), mode
+    global strips_mode
+    strips_mode = mode
+
+
 # Kernel-cost bisection hooks (dev only).  The fused kernel consults
 # ``kernel_bisect()`` to optionally skip its recursion / contraction /
 # lane-store stages when measuring where time goes (tools/kbench.py).  The

@@ -764,6 +764,23 @@ def _strip_arrays(st, xc, faces=None, bands=None):
     return top, bot, ls
 
 
+def build_strips(st, xc, interpret=False):
+    """Halo-strip arrays for the fused conv, picking the fast builder.
+
+    The single-launch Pallas builder (:mod:`.pallas_strips`) replaces the
+    XLA assembly — identical arrays, ~10x cheaper at nside=1024 where the
+    XLA formulation is op-launch-bound — whenever the conv itself runs in
+    compile mode and the builder covers the config (full sphere, f32
+    I/O).  ``config.strips_mode()`` forces either path."""
+    from .pallas_strips import build_strips_pallas, strip_builder_available
+
+    mode = config.strips_mode
+    if mode != "xla" and strip_builder_available(st, xc):
+        if mode == "pallas" or not interpret:
+            return build_strips_pallas(st, xc, interpret=interpret)
+    return _strip_arrays(st, xc)
+
+
 def _run_stencil_kernel(st, kind, n_terms, xc, wext, strips, wk3, B,
                         interpret):
     """pallas_call plumbing for the forward/dx kernel.
@@ -1127,7 +1144,7 @@ def _forward_cfp(st, kind, n_terms, B, interpret, tables, xc, kernel,
     )  # (K, Fin, Fout)
     xc = xc.astype(iodt)
     if strips is None:
-        strips = _strip_arrays(st, xc)
+        strips = build_strips(st, xc, interpret)
     wext = _io_weights(st, tables, iodt)  # (9, 12, n+2R, P_l)
     y = _run_stencil_kernel(st, kind, n_terms, xc, wext, strips, wk3, B,
                             interpret)
@@ -1167,7 +1184,7 @@ def fused_stencil_conv_cfp(st: FaceStencil, tables, xc, kernel, n_terms,
 
     def fwd(tables, xc, kernel):
         xcf = xc.astype(_io_dtype(st))
-        strips = _strip_arrays(st, xcf)
+        strips = build_strips(st, xcf, interpret)
         y = _forward_cfp(st, kind, n_terms, B, interpret, tables, xcf,
                          kernel, strips=strips)
         # the fused dx+dW backward rebuilds its strips from dy and never
@@ -1209,7 +1226,7 @@ def fused_stencil_conv_cfp(st: FaceStencil, tables, xc, kernel, n_terms,
                 (1, 0, 2),
             )  # (K, Fout_orig, Fin_orig)
             dyf = dy
-            dy_strips = _strip_arrays(st, dyf)
+            dy_strips = build_strips(st, dyf, interpret)
             xr = _zero_corrections(st, xcf) if has_corr else xcf
             dx, dwk2 = _run_dxdw_kernel(
                 st, kind, n_terms, dyf, wext, dy_strips, wk3t, xr, B,
@@ -1237,7 +1254,7 @@ def fused_stencil_conv_cfp(st: FaceStencil, tables, xc, kernel, n_terms,
             dx = dx.astype(in_dtype)
             dy_clean = _zero_corrections(st, dy) if has_corr else dy
             if strips is None:  # fused_dw toggled between fwd/bwd traces
-                strips = _strip_arrays(st, xcf)
+                strips = build_strips(st, xcf, interpret)
 
             # dW: per-term scalar contractions over the same band windows;
             # strips come from the forward residuals (same xc)
