@@ -32,6 +32,23 @@ FOUT = 4
 BATCH = int(os.environ.get("BENCH_BATCH", 4))
 REFERENCE_MAPS_PER_SEC = 16 / 0.6  # quick_start.ipynb cell 16 output
 
+# Remote compiles through the tunnel cost 5-10 min EACH; the optional
+# stages stop launching once this much wall clock is spent so the final
+# JSON line always prints within the driver's budget.  The headline conv
+# + train stages (the metric itself) are never skipped.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 2100))
+_T0 = time.time()
+
+
+def _stage_on(extra, name, default="1"):
+    """Stage gate: env opt-out plus the global wall-clock budget."""
+    if os.environ.get("BENCH_" + name.upper(), default) != "1":
+        return False
+    if time.time() - _T0 > BUDGET_S:
+        extra[name + "_skipped"] = "wall-clock budget (BENCH_BUDGET_S)"
+        return False
+    return True
+
 
 def _time(fn, tables, x, kernel, n_iters=20):
     """Chained timing with host readback.
@@ -307,15 +324,18 @@ def main():
     if _cfg_mod.pallas_mode() is None:
         # conv_dtype only affects the fused kernel; timing the XLA
         # fallback would bank fake 'bf16' numbers
-        if os.environ.get("BENCH_BF16", "1") == "1":
+        if os.environ.get("BENCH_BF16", "0") == "1":
             extra["bf16_error"] = "skipped: fused kernel inactive"
-        if os.environ.get("BENCH_BF16_IO", "1") == "1":
+        if os.environ.get("BENCH_BF16_IO", "0") == "1":
             extra["bf16_io_error"] = "skipped: fused kernel inactive"
         os.environ["BENCH_BF16"] = os.environ["BENCH_BF16_IO"] = "0"
         if "bf16_error" in extra or "bf16_io_error" in extra:
             _progress(extra)
 
-    if os.environ.get("BENCH_BF16", "1") == "1":
+    # bf16 band / bf16 HBM-I/O modes: measured and documented as SLOWER on
+    # this ALU-bound VPU (PERFORMANCE.md) — off by default to keep the
+    # bench inside the driver budget; re-enable with BENCH_BF16=1.
+    if _stage_on(extra, "bf16", default="0"):
         # opt-in bf16 band mode: recursion at half the VMEM traffic, MXU
         # bf16 contraction with f32 accumulation (config.conv_dtype)
         import deepsphere_tpu.config as ds_config
@@ -339,7 +359,7 @@ def main():
             ds_config.set_conv_dtype("float32")
         _progress(extra)
 
-    if os.environ.get("BENCH_BF16_IO", "1") == "1":
+    if _stage_on(extra, "bf16_io", default="0"):
         # stage B: bf16 HBM I/O — activations/strips/weight planes/output
         # all bf16 in HBM, so the DMA bytes halve on top of the stage-A
         # band mode (R widens to roundup(h, 16) for the 16-aligned bf16
@@ -394,14 +414,14 @@ def main():
             ds_config.set_conv_dtype("float32")
         _progress(extra)
 
-    if os.environ.get("BENCH_MODEL", "1") == "1":
+    if _stage_on(extra, "model"):
         try:
             extra.update(_model_bench(jax, jnp, cache))
         except Exception as e:
             extra["model_bench_error"] = str(e)[:160]
         _progress(extra)
 
-    if os.environ.get("BENCH_K20", "1") == "1":
+    if _stage_on(extra, "k20"):
         # k=20 ring-template conv (radius-2 stencil) at nside=256: the
         # reference treats k in {20,40,60} as first-class
         # (healpy_networks.py:39-42); round 1 left them on the gather path
@@ -430,7 +450,7 @@ def main():
             extra["k20_error"] = str(e)[:160]
         _progress(extra)
 
-    if os.environ.get("BENCH_GATHER_PATH", "1") == "1":
+    if _stage_on(extra, "gather_path"):
         # free the stencil-path buffers first: the gather path's basis
         # stack peaks at K x activation, and HBM pressure distorts it
         del x5, st_tables
@@ -453,7 +473,7 @@ def main():
         del ell
         _progress(extra)
 
-    if os.environ.get("BENCH_SMOOTH", "1") == "1":
+    if _stage_on(extra, "smooth"):
         # Gaussian smoothing at the headline resolution (sigma = 10
         # arcmin): the stencil-decomposition path (m repetitions of a
         # radius-<=4 template; healpy_layers.py:510-853 semantics) —

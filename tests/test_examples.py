@@ -53,6 +53,7 @@ def test_autoencoder_runs():
     _run_example("autoencoder.py", {"NSIDE": "8", "EPOCHS": "2"})
 
 
+@pytest.mark.slow  # tests/test_serve.py covers the export/runtime units
 def test_serving_runs():
     out = _run_example("serving.py", {"NSIDE": "8",
                                       "ARTIFACT": "/tmp/_ex_serve.dsx"})

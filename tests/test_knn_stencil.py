@@ -58,6 +58,7 @@ def test_knn_deep_stencil_matches_gather(rng):
     )
 
 
+@pytest.mark.slow  # forward equivalence (above) stays in the default set
 def test_knn_deep_stencil_grads_match(rng):
     K, B, Fin, Fout = 5, 1, 2, 2
     g = build_sphere_graph(32, k=8, method="knn")

@@ -292,6 +292,7 @@ def test_smoothing_stencil_approximates_balltree(rng):
                                atol=1e-5)
 
 
+@pytest.mark.slow  # ~90 s: full fwd+grad equivalence of two model builds
 def test_remat_model_matches_plain(rng):
     """remat=True (per-layer jax.checkpoint) must be a pure memory/FLOPs
     trade: identical outputs, gradients, and BN statistic updates, and an

@@ -186,6 +186,7 @@ def test_fused_dw_matches_two_kernel_path(rng, graph):
     )
 
 
+@pytest.mark.slow  # opt-in mode; on-chip checks live in tools/tpu_checks.py
 def test_bf16_band_mode_close_to_f32(rng, graph):
     """config.conv_dtype="bfloat16" runs the recursion in bf16 (half the
     VMEM traffic) with f32 contraction accumulation; outputs and gradients
@@ -217,6 +218,7 @@ def test_bf16_band_mode_close_to_f32(rng, graph):
         np.testing.assert_allclose(b, a, atol=tol)
 
 
+@pytest.mark.slow  # opt-in mode; on-chip checks live in tools/tpu_checks.py
 def test_bf16_io_mode_close_to_f32(rng):
     """config.conv_dtype="bfloat16_io" (stage B) keeps the conv's HBM
     arrays in bf16: activations, halo strips, weight planes and outputs —
