@@ -272,11 +272,19 @@ class Trainer:
         y = np.asarray(y)
         n = x.shape[0]
         logs = []
+        sizes = []
         for start in range(0, n, batch_size):
             xb = x[start:start + batch_size]
             yb = y[start:start + batch_size]
             logs.append(self.test_on_batch(xb, yb))
-        means = {k: float(np.mean([l[k] for l in logs])) for k in logs[0]}
+            sizes.append(len(xb))
+        # per-sample averaging (Keras semantics): a trailing partial batch
+        # contributes proportionally to its size, not as a full batch
+        w = np.asarray(sizes, dtype=np.float64)
+        means = {
+            k: float(np.average([l[k] for l in logs], weights=w))
+            for k in logs[0]
+        }
         if verbose:
             logger.info(" - ".join(f"{k}: {v:.4f}" for k, v in means.items()))
         return means

@@ -252,6 +252,14 @@ def test_fit_trains_on_trailing_partial_batch(rng):
     # donated buffers: the wrapper's variables are live and usable
     out = model(jnp.asarray(x[:4]))
     assert np.all(np.isfinite(np.asarray(out)))
+    # evaluate is per-SAMPLE averaged (Keras): the 2-sample trailing batch
+    # must not count as a full batch in the mean
+    ev = trainer.evaluate(x, y, batch_size=4, verbose=0)
+    per_batch = [trainer.test_on_batch(x[s:s + 4], y[s:s + 4])
+                 for s in (0, 4, 8)]
+    want = float(np.average([b["accuracy"] for b in per_batch],
+                            weights=[4, 4, 2]))
+    np.testing.assert_allclose(ev["accuracy"], want, atol=1e-6)
 
 
 def test_smoothing_stencil_approximates_balltree(rng):
