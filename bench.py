@@ -1,26 +1,50 @@
 """Benchmark: maps/sec/chip for the K=5 Chebyshev graph convolution at
 nside=1024 (the driver-defined north-star metric, BASELINE.json).
 
-Runs on whatever the default jax platform is (the real TPU chip under axon).
-The graph is built once with the fast O(M) grid constructor and cached to
-``.bench_cache/`` so later rounds skip the host precompute.
+Crash-proof orchestration (round-3 redesign)
+--------------------------------------------
+Round 2 lost its bench artifact because one stage (k=20 deep-halo conv)
+kernel-faulted the TPU worker and poisoned the in-process runtime: the next
+``device_put`` raised outside any try block and the final JSON never
+printed.  The fix is structural, not more try/excepts:
+
+* The parent process (``python bench.py``) NEVER imports jax.  It spawns
+  one subprocess per stage (``python bench.py --stage NAME``), merges
+  their results, and prints the single final JSON line from a ``finally``.
+  A chip fault can only kill the child that caused it.
+* Children print incremental ``BENCH-STAGE-RESULT {json}`` marker lines to
+  stdout after every sub-measurement, so even a child that dies mid-stage
+  banks everything it measured before the fault.
+* Every child gets a hard timeout derived from the remaining wall-clock
+  budget (``BENCH_BUDGET_S``, default 2100 s), so a hung remote compile
+  cannot overrun the driver's budget either.
+* Stages known to have faulted the chip in the past (k20, smooth) run
+  LAST, each in its own child; after a crash signature the parent sleeps
+  ``BENCH_RECOVER_S`` to let the TPU worker restart before the next child.
+* Failure injection for testing: ``BENCH_INJECT_FAIL=stage1,stage2`` makes
+  those children raise; ``BENCH_INJECT_HANG=stage`` makes them hang (to
+  exercise the timeout kill).  ``tests/test_bench_harness.py`` proves the
+  final JSON prints with rc 0 under both.
 
 Measures the model-native **cface** path (the layout the model assembler
-threads between layers): channels-first padded face images through the fused
-Pallas kernel — the full K-term Chebyshev recursion in VMEM, halo windows
-assembled per band from structured edge-copy strips, contraction fused
-(see ``deepsphere_tpu/ops/pallas_stencil.py``).  The (B, M, F) face-flat
-wrapper path and the ELLPACK gather path are timed alongside in ``extra``.
+threads between layers): channels-first padded face images through the
+fused Pallas kernel — the full K-term Chebyshev recursion in VMEM, halo
+windows assembled per band from structured edge-copy strips, contraction
+fused (see ``deepsphere_tpu/ops/pallas_stencil.py``).  The (B, M, F)
+face-flat wrapper path and the ELLPACK gather path are timed alongside in
+``extra``.
 
 ``vs_baseline``: the reference repo publishes no benchmark numbers
-(BASELINE.md), so we normalize against the only published throughput trace —
-the quick_start classifier at ~0.6 s/step for batch 16 (26.7 maps/s on
+(BASELINE.md), so we normalize against the only published throughput trace
+— the quick_start classifier at ~0.6 s/step for batch 16 (26.7 maps/s on
 unstated hardware, nside=64).  Our metric processes nside=1024 maps (256x
 more pixels per map), so this normalization is very conservative.
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -32,22 +56,37 @@ FOUT = 4
 BATCH = int(os.environ.get("BENCH_BATCH", 4))
 REFERENCE_MAPS_PER_SEC = 16 / 0.6  # quick_start.ipynb cell 16 output
 
-# Remote compiles through the tunnel cost 5-10 min EACH; the optional
-# stages stop launching once this much wall clock is spent so the final
-# JSON line always prints within the driver's budget.  The headline conv
-# + train stages (the metric itself) are never skipped.
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 2100))
+# minimum useful child runtime: below this, don't even launch the stage
+MIN_STAGE_S = float(os.environ.get("BENCH_MIN_STAGE_S", 90))
+# pause after a chip-fault signature so the TPU worker can restart
+RECOVER_S = float(os.environ.get("BENCH_RECOVER_S", 45))
 _T0 = time.time()
 
+MARKER = "BENCH-STAGE-RESULT "
 
-def _stage_on(extra, name, default="1"):
-    """Stage gate: env opt-out plus the global wall-clock budget."""
-    if os.environ.get("BENCH_" + name.upper(), default) != "1":
-        return False
-    if time.time() - _T0 > BUDGET_S:
-        extra[name + "_skipped"] = "wall-clock budget (BENCH_BUDGET_S)"
-        return False
-    return True
+# (name, default-on, wall-clock cap seconds).  Order matters: the two
+# stages that have previously faulted the TPU worker (k20, smooth) run
+# last so a dead chip cannot cost anything already measured.
+STAGES = [
+    ("core", "1", 1800.0),
+    ("model", "1", 700.0),
+    ("gather", "1", 500.0),
+    ("bf16", "0", 700.0),
+    ("bf16_io", "0", 700.0),
+    ("k20", "1", 700.0),
+    ("smooth", "1", 700.0),
+]
+
+
+# --------------------------------------------------------------------------
+# child-side helpers
+# --------------------------------------------------------------------------
+
+def _bank(extra):
+    """Emit the stage's current results.  Flushed immediately so a later
+    crash in the same child cannot lose them."""
+    print(MARKER + json.dumps(extra), flush=True)
 
 
 def _time(fn, tables, x, kernel, n_iters=20):
@@ -75,27 +114,190 @@ def _time(fn, tables, x, kernel, n_iters=20):
     return (time.time() - t0) / n_iters
 
 
-def _progress(extra):
-    """Bank partial results on stderr after every stage: a late-stage crash
-    (TPU worker fault, OOM) must not lose the two hours of numbers that
-    came before it."""
-    import sys
+def _jax():
+    import jax
 
-    print("BENCH-PARTIAL " + json.dumps(extra), file=sys.stderr, flush=True)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # CPU smoke runs: the axon plugin forces platform priority
+        # "axon,cpu", so the env var alone is not honored
+        jax.config.update("jax_platforms", "cpu")
+    return jax
 
 
-def _model_bench(jax, jnp, cache):
+def _headline_setup(jax, jnp, cache):
+    """Graph + deep stencil + cface input for the nside=1024 stages."""
+    from deepsphere_tpu.graph import build_sphere_graph
+    from deepsphere_tpu.ops.pallas_stencil import cfp_geometry
+    from deepsphere_tpu.ops.stencil import stencil_tables
+
+    t0 = time.time()
+    graph = build_sphere_graph(NSIDE, k=8, method="grid", cache_dir=cache)
+    st = graph.face_stencil(0.75, n_steps=K - 1)
+    build_s = time.time() - t0
+
+    kernel = jnp.asarray(
+        np.random.RandomState(0).normal(scale=0.1, size=(FIN * K, FOUT)),
+        dtype=jnp.float32,
+    )
+    x = jnp.asarray(
+        np.random.RandomState(1).normal(size=(BATCH, graph.n_pixels, FIN)),
+        dtype=jnp.float32,
+    )
+    # graph tables enter as jit ARGUMENTS (hundreds of MB — must not be
+    # embedded into the HLO as constants)
+    st_tables = jax.device_put(stencil_tables(st))
+
+    h = K - 1
+    _, P_l = cfp_geometry(NSIDE, h)
+    x5 = jnp.concatenate(
+        [
+            jnp.zeros((BATCH, FIN, 12, NSIDE, h), jnp.float32),
+            jnp.transpose(x, (0, 2, 1)).reshape(BATCH, FIN, 12, NSIDE, NSIDE),
+            jnp.zeros((BATCH, FIN, 12, NSIDE, P_l - NSIDE - h), jnp.float32),
+        ],
+        axis=4,
+    )
+    return graph, st, st_tables, kernel, x, x5, build_s
+
+
+def stage_core(extra):
+    """Headline cface conv + face-flat wrapper + fused train step."""
+    jax = _jax()
+    import jax.numpy as jnp
+
+    from deepsphere_tpu.ops.stencil import (stencil_graph_conv,
+                                            stencil_graph_conv_cface)
+
+    cache = _cache_dir()
+    graph, st, st_tables, kernel, x, x5, build_s = _headline_setup(
+        jax, jnp, cache
+    )
+    extra["graph_build_s"] = round(build_s, 1)
+    extra["platform"] = jax.devices()[0].platform
+    extra["device"] = str(jax.devices()[0])
+    _bank(extra)
+
+    @jax.jit
+    def conv_cface(tables, x5, kernel):
+        return stencil_graph_conv_cface(st, x5, kernel, K, "cheby",
+                                        tables=tables)
+
+    try:
+        dt = _time(conv_cface, st_tables, x5, kernel)
+    except Exception as e:
+        # the fused kernel failed to compile/run on this backend: fall back
+        # to the per-step XLA stencil path so the round still reports a
+        # (slower) headline number instead of dying without one
+        extra["fused_error"] = str(e)[:300]
+        _bank(extra)
+        import deepsphere_tpu.config as ds_config
+
+        ds_config.set_use_pallas("off")
+
+        @jax.jit
+        def conv_cface_xla(tables, x5, kernel):
+            return stencil_graph_conv_cface(st, x5, kernel, K, "cheby",
+                                            tables=tables)
+
+        dt = _time(conv_cface_xla, st_tables, x5, kernel, n_iters=5)
+        extra["fallback"] = "xla_stencil"
+    extra["step_ms"] = round(dt * 1e3, 2)
+    _bank(extra)
+
+    @jax.jit
+    def conv_stencil(tables, x, kernel):
+        return stencil_graph_conv(
+            st, x, kernel, K, "cheby", tables=tables, layout="face"
+        )
+
+    try:
+        dt_f = _time(conv_stencil, st_tables, x, kernel, n_iters=5)
+        extra["face_flat_step_ms"] = round(dt_f * 1e3, 2)
+    except Exception as e:
+        extra["face_flat_error"] = str(e)[:160]
+    _bank(extra)
+
+    # training step at the headline config: fwd + dx + dW through the fused
+    # conv's custom VJP.  BOTH cotangents must feed the next iteration —
+    # returning dx alone lets XLA dead-code-eliminate the whole dW pass
+    # (which silently under-reported train_step_ms by ~18 ms in round 2)
+    @jax.jit
+    def train_like(tables, x5, kernel):
+        def loss(x5, kernel):
+            y = stencil_graph_conv_cface(st, x5, kernel, K, "cheby",
+                                         tables=tables)
+            return jnp.sum(y * y)
+
+        _, (dx, dk) = jax.value_and_grad(loss, argnums=(0, 1))(x5, kernel)
+        return dx, kernel - 1e-12 * dk
+
+    try:
+        z, kz = train_like(st_tables, x5, kernel)
+        np.asarray(kz[0, 0])
+        for _ in range(3):
+            z, kz = train_like(st_tables, z, kz)
+        np.asarray(kz[0, 0])
+        t0 = time.time()
+        for _ in range(10):
+            z, kz = train_like(st_tables, z, kz)
+        np.asarray(kz[0, 0])
+        dt_t = (time.time() - t0) / 10
+        extra["train_step_ms"] = round(dt_t * 1e3, 2)
+        extra["train_over_fwd"] = round(dt_t / dt, 2)
+    except Exception as e:
+        extra["train_step_error"] = str(e)[:160]
+    _bank(extra)
+
+
+def stage_gather(extra):
+    """ELLPACK gather-path conv (the pre-stencil formulation) for the
+    stencil_speedup comparison."""
+    jax = _jax()
+    import jax.numpy as jnp
+
+    from deepsphere_tpu.graph import build_sphere_graph
+    from deepsphere_tpu.ops.spmv import chebyshev_basis, graph_conv
+
+    cache = _cache_dir()
+    graph = build_sphere_graph(NSIDE, k=8, method="grid", cache_dir=cache)
+    kernel = jnp.asarray(
+        np.random.RandomState(0).normal(scale=0.1, size=(FIN * K, FOUT)),
+        dtype=jnp.float32,
+    )
+    x = jnp.asarray(
+        np.random.RandomState(1).normal(size=(BATCH, graph.n_pixels, FIN)),
+        dtype=jnp.float32,
+    )
+    idx_np, val_np = graph.ellpack(0.75)
+    ell = jax.device_put({"idx": idx_np, "val": val_np})
+
+    @jax.jit
+    def conv_gather(ell, x, kernel):
+        return graph_conv(
+            lambda x2d, nt: chebyshev_basis(ell["idx"], ell["val"], x2d, nt),
+            x, kernel, K,
+        )
+
+    dt_g = _time(conv_gather, ell, x, kernel, n_iters=2)
+    extra["gather_path_step_ms"] = round(dt_g * 1e3, 2)
+    _bank(extra)
+
+
+def stage_model(extra):
     """quick_start-shaped model benchmark (reference architecture verbatim:
     4x Chebyshev K=10 + pools + mean-softmax head, quick_start.ipynb cell 7)
     at nside=64 batch 16 — catches regressions in layout converters, BN,
     pooling and the Trainer that the single-conv number cannot see.
     Reference baseline: ~0.6 s/step on unstated hardware (cell 16)."""
+    jax = _jax()
+    import jax.numpy as jnp
     import flax.linen as fnn
     import optax
 
     import deepsphere_tpu as ds
     from deepsphere_tpu.nn import healpy_layers as hp_nn
 
+    cache = _cache_dir()
     nside = int(os.environ.get("BENCH_MODEL_NSIDE", 64))
     batch = 16
     npix = ds.sphere.healpix.nside2npix(nside)
@@ -153,7 +355,9 @@ def _model_bench(jax, jnp, cache):
     for _ in range(n_it):
         xc, out = fwd(tables, params, stats, xc)
     readback(out)
-    qs_fwd = (time.time() - t0) / n_it
+    extra["qs_model_nside"] = nside
+    extra["qs_fwd_ms"] = round((time.time() - t0) / n_it * 1e3, 2)
+    _bank(extra)
 
     # train step: params/opt-state chain naturally
     tx = optax.adam(1e-3)
@@ -171,7 +375,8 @@ def _model_bench(jax, jnp, cache):
             loss = -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=-1))
             return loss, upd["batch_stats"]
 
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
         updates, new_opt = tx.update(grads, opt, params)
         return optax.apply_updates(params, updates), new_stats, new_opt, loss
 
@@ -182,347 +387,371 @@ def _model_bench(jax, jnp, cache):
         params, stats, opt, loss = step(tables, params, stats, opt, x, y)
     readback(loss)
     qs_train = (time.time() - t0) / n_it
-    return {
-        "qs_model_nside": nside,
-        "qs_fwd_ms": round(qs_fwd * 1e3, 2),
-        "qs_train_step_ms": round(qs_train * 1e3, 2),
-        "qs_train_maps_per_s": round(batch / qs_train, 1),
-    }
+    extra["qs_train_step_ms"] = round(qs_train * 1e3, 2)
+    extra["qs_train_maps_per_s"] = round(batch / qs_train, 1)
+    _bank(extra)
 
 
-def main():
-    import jax
-
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
-        # CPU smoke runs: the axon plugin forces platform priority
-        # "axon,cpu", so the env var alone is not honored
-        jax.config.update("jax_platforms", "cpu")
+def stage_k20(extra):
+    """k=20 ring-template conv (radius-2 stencil) at nside=256: the
+    reference treats k in {20,40,60} as first-class
+    (healpy_networks.py:39-42).  Runs in its own child because this stage
+    kernel-faulted the TPU worker in round 2."""
+    jax = _jax()
     import jax.numpy as jnp
 
     from deepsphere_tpu.graph import build_sphere_graph
-    from deepsphere_tpu.ops.pallas_stencil import cfp_geometry
-    from deepsphere_tpu.ops.spmv import chebyshev_basis, graph_conv
-    from deepsphere_tpu.ops.stencil import (
-        stencil_graph_conv,
-        stencil_graph_conv_cface,
-        stencil_tables,
-    )
+    from deepsphere_tpu.ops.stencil import stencil_graph_conv, stencil_tables
 
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
-    os.makedirs(cache, exist_ok=True)
-
-    t0 = time.time()
-    graph = build_sphere_graph(NSIDE, k=8, method="grid", cache_dir=cache)
-    # deep stencil (n_steps = K-1) feeds the fused Pallas kernel on TPU
-    st = graph.face_stencil(0.75, n_steps=K - 1)
-    build_s = time.time() - t0
-
-    npix = graph.n_pixels
+    cache = _cache_dir()
+    n20 = int(os.environ.get("BENCH_K20_NSIDE", 256))
+    g20 = build_sphere_graph(n20, k=20, method="grid", cache_dir=cache)
+    st20 = g20.deep_stencil(0.75, K)
+    t20 = jax.device_put(stencil_tables(st20))
     kernel = jnp.asarray(
-        np.random.RandomState(0).normal(scale=0.1, size=(FIN * K, FOUT)), dtype=jnp.float32
+        np.random.RandomState(0).normal(scale=0.1, size=(FIN * K, FOUT)),
+        dtype=jnp.float32,
     )
-    x = jnp.asarray(
-        np.random.RandomState(1).normal(size=(BATCH, npix, FIN)), dtype=jnp.float32
+    x20 = jnp.asarray(
+        np.random.RandomState(3).normal(size=(BATCH, g20.n_pixels, FIN)),
+        jnp.float32,
     )
 
-    # graph tables enter as jit ARGUMENTS (hundreds of MB — must not be
-    # embedded into the HLO as constants)
-    st_tables = jax.device_put(stencil_tables(st))
+    # correctness first (vs the ELLPACK gather path), so a wrong-but-fast
+    # kernel can't bank a number.  The gather path is NEST-ordered and the
+    # timed stencil path is face-flat; permute on the HOST (free) instead
+    # of compiling a second layout variant through the tunnel.
+    from deepsphere_tpu.ops.spmv import chebyshev_basis, graph_conv
+    from deepsphere_tpu.sphere.faces import face2nest_index
 
-    # the model's internal hot path runs in the cface layout (one
-    # NEST->cface conversion per model forward, zero per-conv layout work)
-    # — measure the conv in that native layout
-    h = K - 1
-    _, P_l = cfp_geometry(NSIDE, h)
-    x5 = jnp.concatenate(
-        [
-            jnp.zeros((BATCH, FIN, 12, NSIDE, h), jnp.float32),
-            jnp.transpose(x, (0, 2, 1)).reshape(BATCH, FIN, 12, NSIDE, NSIDE),
-            jnp.zeros((BATCH, FIN, 12, NSIDE, P_l - NSIDE - h), jnp.float32),
-        ],
-        axis=4,
-    )
+    idx_np, val_np = g20.ellpack(0.75)
+    ell = jax.device_put({"idx": idx_np, "val": val_np})
+    y_ref_nest = np.asarray(jax.jit(lambda e, x, k: graph_conv(
+        lambda x2d, nt: chebyshev_basis(e["idx"], e["val"], x2d, nt),
+        x, k, K))(ell, x20, kernel))
+    del ell
+    f2n = face2nest_index(n20)  # face position of each NEST pixel
+    x20_face = np.empty_like(np.asarray(x20))
+    x20_face[:, f2n, :] = np.asarray(x20)
+    y_ref = np.empty_like(y_ref_nest)
+    y_ref[:, f2n, :] = y_ref_nest
+    x20 = jnp.asarray(x20_face)
 
     @jax.jit
-    def conv_cface(tables, x5, kernel):
-        return stencil_graph_conv_cface(st, x5, kernel, K, "cheby", tables=tables)
-
-    extra = {
-        "graph_build_s": round(build_s, 1),
-        "platform": jax.devices()[0].platform,
-        "device": str(jax.devices()[0]),
-    }
-
-    try:
-        dt = _time(conv_cface, st_tables, x5, kernel)
-    except Exception as e:
-        # the fused kernel failed to compile/run on this backend: fall back
-        # to the per-step XLA stencil path so the round still reports a
-        # (slower) headline number instead of dying without a JSON line
-        extra["fused_error"] = str(e)[:300]
-        _progress(extra)
-        import deepsphere_tpu.config as ds_config
-
-        ds_config.set_use_pallas("off")
-
-        @jax.jit
-        def conv_cface_xla(tables, x5, kernel):
-            return stencil_graph_conv_cface(
-                st, x5, kernel, K, "cheby", tables=tables
-            )
-
-        dt = _time(conv_cface_xla, st_tables, x5, kernel, n_iters=5)
-        extra["fallback"] = "xla_stencil"
-    maps_per_sec = BATCH / dt
-    extra["step_ms"] = round(dt * 1e3, 2)
-
-    @jax.jit
-    def conv_stencil(tables, x, kernel):
+    def conv20(tables, x, kernel):
         return stencil_graph_conv(
-            st, x, kernel, K, "cheby", tables=tables, layout="face"
+            st20, x, kernel, K, "cheby", tables=tables, layout="face"
         )
 
-    dt_f = _time(conv_stencil, st_tables, x, kernel, n_iters=5)
-    extra["face_flat_step_ms"] = round(dt_f * 1e3, 2)
+    y20 = np.asarray(conv20(t20, x20, kernel))
+    err = float(np.max(np.abs(y20 - y_ref)))
+    extra["k20_nside"] = n20
+    extra["k20_max_abs_err"] = err
+    _bank(extra)
 
-    # training step at the headline config: fwd + dx + dW through the fused
-    # conv's custom VJP.  BOTH cotangents must feed the next iteration —
-    # returning dx alone lets XLA dead-code-eliminate the whole dW pass
-    # (which silently under-reported train_step_ms by ~18 ms in round 2)
+    dt20 = _time(conv20, t20, x20, kernel, n_iters=10)
+    extra["k20_step_ms"] = round(dt20 * 1e3, 2)
+    extra["k20_maps_per_s"] = round(BATCH / dt20, 1)
+    _bank(extra)
+
+
+def stage_smooth(extra):
+    """Gaussian smoothing at the headline resolution (sigma = 10 arcmin):
+    the stencil-decomposition path (m repetitions of a radius-<=4 template;
+    healpy_layers.py:510-853 semantics) — the BallTree/ELLPACK form would
+    need hundreds of serialized gather passes here.  Own child: this stage
+    once crashed the TPU worker."""
+    jax = _jax()
+    import jax.numpy as jnp
+
+    from deepsphere_tpu.nn.smoothing import HealpySmoothing, SmoothingOperator
+
+    cache = _cache_dir()
+    op = SmoothingOperator(
+        nside=NSIDE, indices=np.arange(12 * NSIDE * NSIDE),
+        sigma=10.0, method="stencil", data_path=cache,
+    )
+    lay = HealpySmoothing(operator=op)
+    xs = jnp.asarray(
+        np.random.RandomState(5).normal(size=(1, 12 * NSIDE * NSIDE, 1)),
+        jnp.float32,
+    )
+    vs = lay.init(jax.random.PRNGKey(0), xs)
+    tbl = {k: jax.device_put(v) for k, v in vs.items()}
+
     @jax.jit
-    def train_like(tables, x5, kernel):
-        def loss(x5, kernel):
-            y = stencil_graph_conv_cface(st, x5, kernel, K, "cheby",
-                                         tables=tables)
-            return jnp.sum(y * y)
+    def smooth(tbl, xs):
+        return lay.apply(tbl, xs)
 
-        _, (dx, dk) = jax.value_and_grad(loss, argnums=(0, 1))(x5, kernel)
-        return dx, kernel - 1e-12 * dk
+    ys = smooth(tbl, xs)
+    np.asarray(ys[0, 0, 0])
+    t0 = time.time()
+    for _ in range(5):
+        ys = smooth(tbl, ys)
+    np.asarray(ys[0, 0, 0])
+    extra["smooth_sigma10_ms"] = round((time.time() - t0) / 5 * 1e3, 2)
+    extra["smooth_reps"] = int(op.stencil_reps)
+    _bank(extra)
 
-    def _time_train(n_iters=10):
-        z, kz = train_like(st_tables, x5, kernel)
-        np.asarray(kz[0, 0])
-        for _ in range(3):
-            z, kz = train_like(st_tables, z, kz)
-        np.asarray(kz[0, 0])
-        t0 = time.time()
-        for _ in range(n_iters):
-            z, kz = train_like(st_tables, z, kz)
-        np.asarray(kz[0, 0])
-        return (time.time() - t0) / n_iters
 
-    try:
-        dt_t = _time_train()
-        extra["train_step_ms"] = round(dt_t * 1e3, 2)
-        extra["train_over_fwd"] = round(dt_t / dt, 2)
-    except Exception as e:
-        extra["train_step_error"] = str(e)[:120]
-    _progress(extra)
+def _bf16_stage(extra, io_mode):
+    jax = _jax()
+    import jax.numpy as jnp
 
-    import deepsphere_tpu.config as _cfg_mod
+    import deepsphere_tpu.config as ds_config
+    from deepsphere_tpu.ops.stencil import (stencil_graph_conv_cface,
+                                            stencil_tables)
 
-    if _cfg_mod.pallas_mode() is None:
+    cache = _cache_dir()
+    graph, st, st_tables, kernel, x, x5, _ = _headline_setup(jax, jnp, cache)
+    if ds_config.pallas_mode() is None:
         # conv_dtype only affects the fused kernel; timing the XLA
         # fallback would bank fake 'bf16' numbers
-        if os.environ.get("BENCH_BF16", "0") == "1":
-            extra["bf16_error"] = "skipped: fused kernel inactive"
-        if os.environ.get("BENCH_BF16_IO", "0") == "1":
-            extra["bf16_io_error"] = "skipped: fused kernel inactive"
-        os.environ["BENCH_BF16"] = os.environ["BENCH_BF16_IO"] = "0"
-        if "bf16_error" in extra or "bf16_io_error" in extra:
-            _progress(extra)
+        key = "bf16_io_error" if io_mode else "bf16_error"
+        extra[key] = "skipped: fused kernel inactive"
+        _bank(extra)
+        return
 
-    # bf16 band / bf16 HBM-I/O modes: measured and documented as SLOWER on
-    # this ALU-bound VPU (PERFORMANCE.md) — off by default to keep the
-    # bench inside the driver budget; re-enable with BENCH_BF16=1.
-    if _stage_on(extra, "bf16", default="0"):
-        # opt-in bf16 band mode: recursion at half the VMEM traffic, MXU
-        # bf16 contraction with f32 accumulation (config.conv_dtype)
-        import deepsphere_tpu.config as ds_config
-
+    if not io_mode:
+        # bf16 band mode: recursion at half the VMEM traffic, MXU bf16
+        # contraction with f32 accumulation (config.conv_dtype)
         ds_config.set_conv_dtype("bfloat16")
         try:
-            # separate python fn -> separate jit cache entry (the config
-            # flag is read at trace time)
             @jax.jit
             def conv_bf16(tables, x5, kernel):
-                return stencil_graph_conv_cface(
-                    st, x5, kernel, K, "cheby", tables=tables
-                )
+                return stencil_graph_conv_cface(st, x5, kernel, K, "cheby",
+                                                tables=tables)
 
             dt_b = _time(conv_bf16, st_tables, x5, kernel)
             extra["bf16_step_ms"] = round(dt_b * 1e3, 2)
             extra["bf16_maps_per_s"] = round(BATCH / dt_b, 1)
-        except Exception as e:
-            extra["bf16_error"] = str(e)[:160]
         finally:
             ds_config.set_conv_dtype("float32")
-        _progress(extra)
+        _bank(extra)
+        return
 
-    if _stage_on(extra, "bf16_io", default="0"):
-        # stage B: bf16 HBM I/O — activations/strips/weight planes/output
-        # all bf16 in HBM, so the DMA bytes halve on top of the stage-A
-        # band mode (R widens to roundup(h, 16) for the 16-aligned bf16
-        # DMA row slices).  Chained iterations keep bf16 end to end.
-        import deepsphere_tpu.config as ds_config
-        from deepsphere_tpu.ops.stencil import stencil_tables as _st_tables
-
-        ds_config.set_conv_dtype("bfloat16_io")
-        try:
-            st_tables_io = jax.device_put(_st_tables(st, bf16_io=True))
-            x5h = x5.astype(jnp.bfloat16)
-
-            @jax.jit
-            def conv_io(tables, x5, kernel):
-                return stencil_graph_conv_cface(
-                    st, x5, kernel, K, "cheby", tables=tables
-                )
-
-            dt_i = _time(conv_io, st_tables_io, x5h, kernel)
-            extra["bf16_io_step_ms"] = round(dt_i * 1e3, 2)
-            extra["bf16_io_maps_per_s"] = round(BATCH / dt_i, 1)
-
-            @jax.jit
-            def train_io(tables, x5, kernel):
-                def loss(x5, kernel):
-                    y = stencil_graph_conv_cface(
-                        st, x5, kernel, K, "cheby", tables=tables
-                    )
-                    return jnp.sum(y.astype(jnp.float32) * y.astype(jnp.float32))
-
-                _, (dx, dk) = jax.value_and_grad(loss, argnums=(0, 1))(
-                    x5, kernel
-                )
-                return dx, kernel - 1e-12 * dk
-
-            z, kz = train_io(st_tables_io, x5h, kernel)
-            np.asarray(kz[0, 0])
-            for _ in range(3):
-                z, kz = train_io(st_tables_io, z, kz)
-            np.asarray(kz[0, 0])
-            t0 = time.time()
-            for _ in range(10):
-                z, kz = train_io(st_tables_io, z, kz)
-            np.asarray(kz[0, 0])
-            extra["bf16_io_train_step_ms"] = round(
-                (time.time() - t0) / 10 * 1e3, 2
-            )
-            del st_tables_io, x5h, z, kz
-        except Exception as e:
-            extra["bf16_io_error"] = str(e)[:160]
-        finally:
-            ds_config.set_conv_dtype("float32")
-        _progress(extra)
-
-    if _stage_on(extra, "model"):
-        try:
-            extra.update(_model_bench(jax, jnp, cache))
-        except Exception as e:
-            extra["model_bench_error"] = str(e)[:160]
-        _progress(extra)
-
-    if _stage_on(extra, "k20"):
-        # k=20 ring-template conv (radius-2 stencil) at nside=256: the
-        # reference treats k in {20,40,60} as first-class
-        # (healpy_networks.py:39-42); round 1 left them on the gather path
-        try:
-            n20 = int(os.environ.get("BENCH_K20_NSIDE", 256))
-            g20 = build_sphere_graph(n20, k=20, method="grid", cache_dir=cache)
-            st20 = g20.deep_stencil(0.75, K)
-            t20 = jax.device_put(stencil_tables(st20))
-            x20 = jnp.asarray(
-                np.random.RandomState(3).normal(
-                    size=(BATCH, g20.n_pixels, FIN)
-                ), jnp.float32,
-            )
-
-            @jax.jit
-            def conv20(tables, x, kernel):
-                return stencil_graph_conv(
-                    st20, x, kernel, K, "cheby", tables=tables, layout="face"
-                )
-
-            dt20 = _time(conv20, t20, x20, kernel, n_iters=10)
-            extra["k20_nside"] = n20
-            extra["k20_step_ms"] = round(dt20 * 1e3, 2)
-            extra["k20_maps_per_s"] = round(BATCH / dt20, 1)
-        except Exception as e:
-            extra["k20_error"] = str(e)[:160]
-        _progress(extra)
-
-    if _stage_on(extra, "gather_path"):
-        # free the stencil-path buffers first: the gather path's basis
-        # stack peaks at K x activation, and HBM pressure distorts it
-        del x5, st_tables
-        idx_np, val_np = graph.ellpack(0.75)
-        ell = jax.device_put({"idx": idx_np, "val": val_np})
+    # stage B: bf16 HBM I/O — activations/strips/weight planes/output all
+    # bf16 in HBM, so the DMA bytes halve on top of the stage-A band mode
+    # (R widens to roundup(h, 16) for the 16-aligned bf16 DMA row slices).
+    ds_config.set_conv_dtype("bfloat16_io")
+    try:
+        st_tables_io = jax.device_put(stencil_tables(st, bf16_io=True))
+        x5h = x5.astype(jnp.bfloat16)
 
         @jax.jit
-        def conv_gather(ell, x, kernel):
-            return graph_conv(
-                lambda x2d, nt: chebyshev_basis(ell["idx"], ell["val"], x2d, nt),
-                x, kernel, K,
+        def conv_io(tables, x5, kernel):
+            return stencil_graph_conv_cface(st, x5, kernel, K, "cheby",
+                                            tables=tables)
+
+        dt_i = _time(conv_io, st_tables_io, x5h, kernel)
+        extra["bf16_io_step_ms"] = round(dt_i * 1e3, 2)
+        extra["bf16_io_maps_per_s"] = round(BATCH / dt_i, 1)
+        _bank(extra)
+
+        @jax.jit
+        def train_io(tables, x5, kernel):
+            def loss(x5, kernel):
+                y = stencil_graph_conv_cface(st, x5, kernel, K, "cheby",
+                                             tables=tables)
+                return jnp.sum(y.astype(jnp.float32) * y.astype(jnp.float32))
+
+            _, (dx, dk) = jax.value_and_grad(loss, argnums=(0, 1))(x5, kernel)
+            return dx, kernel - 1e-12 * dk
+
+        z, kz = train_io(st_tables_io, x5h, kernel)
+        np.asarray(kz[0, 0])
+        for _ in range(3):
+            z, kz = train_io(st_tables_io, z, kz)
+        np.asarray(kz[0, 0])
+        t0 = time.time()
+        for _ in range(10):
+            z, kz = train_io(st_tables_io, z, kz)
+        np.asarray(kz[0, 0])
+        extra["bf16_io_train_step_ms"] = round((time.time() - t0) / 10 * 1e3,
+                                               2)
+    finally:
+        ds_config.set_conv_dtype("float32")
+    _bank(extra)
+
+
+def stage_bf16(extra):
+    _bf16_stage(extra, io_mode=False)
+
+
+def stage_bf16_io(extra):
+    _bf16_stage(extra, io_mode=True)
+
+
+STAGE_FNS = {
+    "core": stage_core,
+    "model": stage_model,
+    "gather": stage_gather,
+    "k20": stage_k20,
+    "smooth": stage_smooth,
+    "bf16": stage_bf16,
+    "bf16_io": stage_bf16_io,
+}
+
+
+def _cache_dir():
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache")
+    os.makedirs(cache, exist_ok=True)
+    return cache
+
+
+def child_main(stage):
+    """Run one stage; print incremental marker lines; never let an
+    exception reach the driver as a hard failure."""
+    extra = {}
+    inject_fail = os.environ.get("BENCH_INJECT_FAIL", "").split(",")
+    inject_hang = os.environ.get("BENCH_INJECT_HANG", "").split(",")
+    try:
+        if os.environ.get("DS_USE_PALLAS"):
+            # set by the parent's core-retry path (fresh child, XLA path)
+            import deepsphere_tpu.config as ds_config
+
+            ds_config.set_use_pallas(os.environ["DS_USE_PALLAS"])
+        if stage in inject_fail:
+            raise RuntimeError(f"injected failure in stage {stage}")
+        if stage in inject_hang:
+            time.sleep(10_000)
+        STAGE_FNS[stage](extra)
+    except Exception as e:  # noqa: BLE001 — banked, never fatal
+        extra[stage + "_error"] = f"{type(e).__name__}: {e}"[:300]
+        _bank(extra)
+        return 0
+    return 0
+
+
+# --------------------------------------------------------------------------
+# parent side
+# --------------------------------------------------------------------------
+
+_CRASH_SIGNATURES = ("UNAVAILABLE", "worker process crashed", "kernel fault",
+                     "DEADLINE_EXCEEDED")
+
+
+def _run_stage_child(name, timeout_s, extra, env_extra=None):
+    """Spawn ``python bench.py --stage name``; merge its last marker line.
+    Returns True if the child's output suggests the TPU worker died."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--stage", name]
+    env = None
+    if env_extra:
+        env = dict(os.environ, **env_extra)
+    print(f"[bench] stage {name}: launching (timeout {timeout_s:.0f}s)",
+          file=sys.stderr, flush=True)
+    t0 = time.time()
+    crashed = False
+    tail = ""
+    try:
+        proc = subprocess.run(
+            cmd, stdout=subprocess.PIPE, stderr=None, env=env,
+            timeout=timeout_s, text=True, errors="replace",
+        )
+        out, rc = proc.stdout or "", proc.returncode
+    except subprocess.TimeoutExpired as e:
+        out = (e.stdout.decode(errors="replace")
+               if isinstance(e.stdout, bytes) else (e.stdout or ""))
+        rc = None
+        extra[name + "_error"] = f"stage timeout after {timeout_s:.0f}s"
+    except Exception as e:  # spawn failure
+        extra[name + "_error"] = f"spawn failed: {e}"[:200]
+        return False
+
+    banked = None
+    for line in out.splitlines():
+        if line.startswith(MARKER):
+            try:
+                banked = json.loads(line[len(MARKER):])
+            except ValueError:
+                pass
+        else:
+            tail = line  # keep last non-marker line for diagnostics
+    if banked:
+        extra.update(banked)
+    if rc not in (0, None) and not banked:
+        extra[name + "_error"] = (
+            f"child rc={rc}: {tail[:200]}" if tail else f"child rc={rc}"
+        )
+    err_text = str(extra.get(name + "_error") or "")
+    crashed = (rc is not None and rc != 0) or any(
+        sig in out or sig in err_text for sig in _CRASH_SIGNATURES
+    )
+    print(f"[bench] stage {name}: done in {time.time() - t0:.0f}s "
+          f"(rc={rc}, banked={banked is not None})",
+          file=sys.stderr, flush=True)
+    return crashed
+
+
+def parent_main():
+    extra = {}
+    try:
+        for name, default_on, cap in STAGES:
+            if os.environ.get("BENCH_" + name.upper(), default_on) != "1":
+                continue
+            remaining = BUDGET_S - (time.time() - _T0)
+            if name != "core" and remaining < MIN_STAGE_S:
+                extra[name + "_skipped"] = "wall-clock budget (BENCH_BUDGET_S)"
+                continue
+            # core always launches (it IS the metric) but still gets a hard
+            # timeout so the final JSON prints inside the driver's budget
+            timeout_s = min(cap, max(remaining - 30, MIN_STAGE_S))
+            crashed = _run_stage_child(name, timeout_s, extra)
+            if name == "core" and "step_ms" not in extra:
+                # headline never banked (fused kernel may have poisoned the
+                # child's runtime before the in-child fallback could run):
+                # retry ONCE in a fresh child with the Pallas path disabled
+                remaining = BUDGET_S - (time.time() - _T0)
+                if remaining > MIN_STAGE_S:
+                    if crashed and RECOVER_S > 0:
+                        time.sleep(min(RECOVER_S, remaining / 4))
+                    print("[bench] core retry with DS_USE_PALLAS=off",
+                          file=sys.stderr, flush=True)
+                    timeout_s = min(cap, max(remaining - 30, MIN_STAGE_S))
+                    crashed = _run_stage_child(
+                        "core", timeout_s, extra,
+                        env_extra={"DS_USE_PALLAS": "off"},
+                    )
+                    extra.setdefault("fallback", "xla_stencil (fresh child)")
+            if crashed and RECOVER_S > 0:
+                # chip-fault signature: give the TPU worker time to restart
+                # before the next child connects
+                budget_left = BUDGET_S - (time.time() - _T0)
+                pause = min(RECOVER_S, max(budget_left - MIN_STAGE_S, 0))
+                if pause > 0:
+                    print(f"[bench] crash signature in {name}; sleeping "
+                          f"{pause:.0f}s for worker recovery",
+                          file=sys.stderr, flush=True)
+                    time.sleep(pause)
+    except BaseException as e:  # noqa: BLE001 — the finally must still print
+        extra["orchestrator_error"] = f"{type(e).__name__}: {e}"[:200]
+    finally:
+        step_ms = extra.get("step_ms")
+        if step_ms:
+            maps_per_sec = BATCH / (step_ms / 1e3)
+        else:
+            maps_per_sec = 0.0
+            extra.setdefault("headline_error", "no step_ms measured")
+        if extra.get("gather_path_step_ms") and step_ms:
+            extra["stencil_speedup"] = round(
+                extra["gather_path_step_ms"] / step_ms, 2
             )
+        result = {
+            "metric": f"maps/sec/chip nside={NSIDE} K={K} Chebyshev conv fwd "
+                      f"(Fin={FIN} Fout={FOUT} batch={BATCH})",
+            "value": round(maps_per_sec, 3),
+            "unit": "maps/s",
+            "vs_baseline": round(maps_per_sec / REFERENCE_MAPS_PER_SEC, 3),
+            "extra": extra,
+        }
+        print(json.dumps(result), flush=True)
 
-        try:
-            dt_g = _time(conv_gather, ell, x, kernel, n_iters=2)
-            extra["gather_path_step_ms"] = round(dt_g * 1e3, 2)
-            extra["stencil_speedup"] = round(dt_g / dt, 2)
-        except Exception as e:  # OOM at large nside etc.
-            extra["gather_path_error"] = str(e)[:120]
-        del ell
-        _progress(extra)
 
-    if _stage_on(extra, "smooth"):
-        # Gaussian smoothing at the headline resolution (sigma = 10
-        # arcmin): the stencil-decomposition path (m repetitions of a
-        # radius-<=4 template; healpy_layers.py:510-853 semantics) —
-        # the BallTree/ELLPACK form would need hundreds of serialized
-        # gather passes here.  LAST: this stage once crashed the TPU
-        # worker; everything before it must already be banked.
-        try:
-            from deepsphere_tpu.nn.smoothing import (HealpySmoothing,
-                                                     SmoothingOperator)
-
-            op = SmoothingOperator(
-                nside=NSIDE, indices=np.arange(12 * NSIDE * NSIDE),
-                sigma=10.0, method="stencil", data_path=cache,
-            )
-            lay = HealpySmoothing(operator=op)
-            xs = jnp.asarray(
-                np.random.RandomState(5).normal(
-                    size=(1, 12 * NSIDE * NSIDE, 1)
-                ), jnp.float32,
-            )
-            vs = lay.init(jax.random.PRNGKey(0), xs)
-            tbl = {k: jax.device_put(v) for k, v in vs.items()}
-
-            @jax.jit
-            def smooth(tbl, xs):
-                return lay.apply(tbl, xs)
-
-            ys = smooth(tbl, xs)
-            np.asarray(ys[0, 0, 0])
-            t0 = time.time()
-            for _ in range(5):
-                ys = smooth(tbl, ys)
-            np.asarray(ys[0, 0, 0])
-            extra["smooth_sigma10_ms"] = round((time.time() - t0) / 5 * 1e3, 2)
-            extra["smooth_reps"] = int(op.stencil_reps)
-            del xs, ys, tbl
-        except Exception as e:
-            extra["smooth_error"] = str(e)[:160]
-        _progress(extra)
-
-    result = {
-        "metric": f"maps/sec/chip nside={NSIDE} K={K} Chebyshev conv fwd "
-                  f"(Fin={FIN} Fout={FOUT} batch={BATCH})",
-        "value": round(maps_per_sec, 3),
-        "unit": "maps/s",
-        "vs_baseline": round(maps_per_sec / REFERENCE_MAPS_PER_SEC, 3),
-        "extra": extra,
-    }
-    print(json.dumps(result))
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
+        sys.exit(child_main(sys.argv[2]))
+    parent_main()
 
 
 if __name__ == "__main__":
