@@ -271,6 +271,8 @@ class Trainer:
         x = np.asarray(x)
         y = np.asarray(y)
         n = x.shape[0]
+        if n == 0:
+            raise ValueError("evaluate() needs at least one sample, got 0")
         logs = []
         sizes = []
         for start in range(0, n, batch_size):

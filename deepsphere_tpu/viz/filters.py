@@ -182,6 +182,7 @@ def plot_filters_gnomonic(filters, order=10, ind=0, title="Filter {}->{}", grati
                 max=a,
                 cbar=False,
                 cmap="seismic",
+                graticule=graticule,
             )
     fig.suptitle(
         f"Gnomonic view of the {filters.n_filters} filters in the filterbank",

@@ -76,6 +76,59 @@ def mollweide_pixels(nside, xsize=800, nest=True):
     return pix, ok
 
 
+def _gnomonic_forward(v, c, east, north):
+    """Project unit direction(s) v onto the tangent plane at c.
+
+    Returns (x_deg, y_deg) plane offsets matching :func:`gnomonic_pixels`'s
+    axes (x along east, y along north), NaN behind the tangent point."""
+    v = np.asarray(v, dtype=np.float64)
+    d = v @ c
+    with np.errstate(invalid="ignore", divide="ignore"):
+        t = v / d[..., None]
+        x = np.where(d > 0.05, t @ east, np.nan)
+        y = np.where(d > 0.05, t @ north, np.nan)
+    return np.rad2deg(x), np.rad2deg(y)
+
+
+def _draw_graticule(ax, rot, half):
+    """Overlay meridians/parallels on a gnomonic axes (the reference calls
+    ``hp.graticule(verbose=False)`` per subplot, plot.py:65-66)."""
+    c, east, north = _lonlat_basis(*rot)
+    # nice spacing: ~3 lines across the field of view
+    span = 2.0 * half
+    spacing = 30.0
+    for s in (30.0, 10.0, 5.0, 2.0, 1.0, 0.5, 0.25):
+        if s <= span / 3.0:
+            spacing = s
+            break
+    lon0, lat0 = rot
+    s = np.linspace(-1.5 * half, 1.5 * half, 181)
+    lats = spacing * np.arange(
+        np.floor((lat0 - 1.5 * half) / spacing),
+        np.ceil((lat0 + 1.5 * half) / spacing) + 1,
+    )
+    lons = spacing * np.arange(
+        np.floor((lon0 - 3 * half) / spacing),
+        np.ceil((lon0 + 3 * half) / spacing) + 1,
+    )
+    for lat in lats[np.abs(lats) <= 90]:
+        lon = np.deg2rad(lon0 + s / np.maximum(np.cos(np.deg2rad(lat)), 1e-6))
+        la = np.full_like(lon, np.deg2rad(lat))
+        v = np.stack([np.cos(la) * np.cos(lon), np.cos(la) * np.sin(lon),
+                      np.sin(la)], axis=-1)
+        x, y = _gnomonic_forward(v, c, east, north)
+        ax.plot(x, y, color="k", lw=0.4, alpha=0.6)
+    for lon in lons:
+        la = np.deg2rad(np.clip(lat0 + s, -90, 90))
+        lo = np.full_like(la, np.deg2rad(lon))
+        v = np.stack([np.cos(la) * np.cos(lo), np.cos(la) * np.sin(lo),
+                      np.sin(la)], axis=-1)
+        x, y = _gnomonic_forward(v, c, east, north)
+        ax.plot(x, y, color="k", lw=0.4, alpha=0.6)
+    ax.set_xlim(-half, half)
+    ax.set_ylim(-half, half)
+
+
 def gnomview(
     m,
     rot=(0.0, 0.0),
@@ -91,6 +144,7 @@ def gnomview(
     cmap="viridis",
     notext=False,
     margins=None,
+    graticule=False,
 ):
     """Render a gnomonic view of a HEALPix map — drop-in for the
     ``hp.gnomview`` usage in the reference plot layer."""
@@ -110,6 +164,8 @@ def gnomview(
         extent=(-half, half, -half, half),
     )
     ax.set_axis_off()
+    if graticule:
+        _draw_graticule(ax, rot, half)
     if title and not notext:
         ax.set_title(title)
     if cbar:
