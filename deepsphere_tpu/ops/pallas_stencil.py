@@ -128,12 +128,21 @@ def _vmem_budget():
     return int(os.environ.get("DS_PALLAS_VMEM_MB", "96")) * 2**20
 
 
-def _vmem_est(Tr, R, P, C, cout, nplanes, io_blocks, band_bytes, io_bytes):
-    """Working-set estimate of one kernel instance at band height Tr."""
+def _vmem_est(Tr, R, P, C, cout, nplanes, io_blocks, band_bytes, io_bytes,
+              lap_temps=0):
+    """Working-set estimate of one kernel instance at band height Tr.
+
+    ``lap_temps``: extra live band-sized temporaries of the recursion laps
+    beyond the radius-1 baseline.  Radius-2 stencils materialize 2r+1
+    lane-rolled copies of the band plus per-dx partial sums in every lap,
+    and Mosaic does not reuse those buffers across the unrolled K-1 laps —
+    measured on-chip at nside=256/k=20/K=5: 140.2M actual vs 51M estimated
+    with the radius-1 formula (compile-time VMEM OOM through the tunnel;
+    the round-2 bench recorded it as a TPU worker crash, VERDICT.md #2)."""
     Sd = Tr + 2 * R
     return (
         # recursion state (prev2/prev1/t) + roll temps, band dtype
-        band_bytes * 6 * C * Sd * P
+        band_bytes * (6 + lap_temps) * C * Sd * P
     ) + io_bytes * (
         2 * (C + nplanes) * Sd * P  # double-buffered band scratch
         + 2 * C * Sd * 128  # double-buffered packed lane-strip scratch
@@ -144,7 +153,7 @@ def _vmem_est(Tr, R, P, C, cout, nplanes, io_blocks, band_bytes, io_bytes):
 
 
 def _pick_band(n, R, P, C, cout, nplanes=9, io_blocks=2, band_bytes=4,
-               io_bytes=4):
+               io_bytes=4, lap_temps=0):
     """Row-band height Tr: the largest power-of-two band whose working set
     (recursion state + weight planes + accumulators + pipeline buffers)
     fits the VMEM budget.  ``io_blocks``: number of double-buffered
@@ -161,7 +170,7 @@ def _pick_band(n, R, P, C, cout, nplanes=9, io_blocks=2, band_bytes=4,
         if Tr > n or n % Tr or Tr < R or Tr % align:
             continue
         est = _vmem_est(Tr, R, P, C, cout, nplanes, io_blocks, band_bytes,
-                        io_bytes)
+                        io_bytes, lap_temps)
         if est <= budget:
             return Tr
     # fallback under extreme VMEM pressure / odd R: the smallest divisor of
@@ -181,9 +190,14 @@ def _band_geometry(st, C, cout, io_blocks=2, bdt=None, iodt=None):
     R = _round_up(h, _sublane(iodt))
     band_bytes = 2 if bdt == jnp.bfloat16 else 4
     io_bytes = 2 if iodt == jnp.bfloat16 else 4
+    # radius-2+ stencils: 2r+1 lane-rolled band copies + per-dx partials
+    # stay live per lap, and Mosaic does not reuse them across the K-1
+    # unrolled laps (on-chip measured — see _vmem_est)
+    radius = getattr(st, "radius", 1) or 1
+    lap_temps = 0 if radius <= 1 else (h // radius) * (2 * radius + 1)
     Tr = _pick_band(n, R, P, C, cout, nplanes=len(st.offsets),
                     io_blocks=io_blocks, band_bytes=band_bytes,
-                    io_bytes=io_bytes)
+                    io_bytes=io_bytes, lap_temps=lap_temps)
     Sd = Tr + 2 * R
     return n, h, R, P, Tr, Sd
 

@@ -358,6 +358,80 @@ def test_sparse_attention_parity(ref, graphs, rng):
     assert np.abs(np.asarray(out) - out_ref).max() < 1e-5
 
 
+def test_quickstart_workload_parity(ref, rng, tmp_path):
+    """Workload-shape parity (BASELINE.md north star at the quick_start
+    architecture, quick_start.ipynb cell 7): nside=64, K=10, 4 Chebyshev
+    convs + 3 MAX pools, weights copied from freshly-built TF reference
+    layers, compared at EVERY conv boundary through the model assembler's
+    DEFAULT path (cface planner + stencil conv — not conv_method='ellpack').
+
+    The TF chain uses OUR grid Laplacians at each resolution (the same L
+    the assembler builds), so this isolates conv/BN/pool/layout numerics
+    at production shape rather than graph-construction differences."""
+    import deepsphere_tpu as ds
+    from deepsphere_tpu.nn import healpy_layers as hp_nn
+
+    nside = 64
+    npix = 12 * nside * nside
+    B = 2
+    x = rng.normal(size=(B, npix, 1)).astype(np.float32)
+    cache = str(tmp_path)
+
+    conv_cfg = [
+        dict(K=10, Fout=5, use_bias=True, use_bn=True, activation="relu"),
+        dict(K=10, Fout=5, use_bias=True, use_bn=True, activation="relu"),
+        dict(K=10, Fout=5, use_bias=True, use_bn=True, activation="relu"),
+        dict(K=10, Fout=2),
+    ]
+
+    def make_layers(n_user_layers=None):
+        out = []
+        for ci, cfg in enumerate(conv_cfg):
+            out.append(hp_nn.HealpyChebyshev(**cfg))
+            if ci < 3:
+                out.append(hp_nn.HealpyPool(p=1, pool_type="MAX"))
+        return out if n_user_layers is None else out[:n_user_layers]
+
+    # ---- TF reference chain with our Laplacians, recording conv outputs
+    tf.random.set_seed(11)
+    res = nside
+    cur = tf.constant(x)
+    tf_conv_out = []  # (layer_index, np output) at each conv boundary
+    tf_params = {}  # our flax param key -> copied TF weights
+    li = 0
+    for ci, cfg in enumerate(conv_cfg):
+        g = build_sphere_graph(res, k=8, method="grid", cache_dir=cache)
+        g._materialize()
+        tf_layer = ref.gnn_layers.Chebyshev(L=g.L.copy(), **cfg)
+        cur = tf_layer(cur, training=False)
+        tf_conv_out.append((li, cur.numpy()))
+        p = {"kernel": np.asarray(tf_layer.kernel.numpy())}
+        if cfg.get("use_bias"):
+            p["bias"] = np.asarray(tf_layer.bias.numpy())
+        tf_params[f"layers_layer_{li}"] = p
+        li += 1
+        if ci < 3:
+            cur = ref.healpy_layers.HealpyPool(p=1, pool_type="MAX")(cur)
+            res //= 2
+            li += 1
+
+    # ---- ours: prefix models through the DEFAULT assembler plan
+    for boundary, (li, y_ref) in enumerate(tf_conv_out):
+        model = ds.HealpyGCNN(
+            nside=nside, indices=np.arange(npix),
+            layers=make_layers(li + 1), graph_cache_dir=cache,
+        )
+        variables = dict(model.init(0, x))
+        params = dict(variables["params"])
+        for key, p in tf_params.items():
+            if key in params:
+                params[key] = p
+        variables["params"] = params
+        y = np.asarray(model.apply(variables, x, training=False))
+        err = np.abs(y - y_ref).max()
+        assert err < 1e-5, f"conv boundary {boundary}: max abs err {err}"
+
+
 @pytest.mark.parametrize("method", ["knn", "grid"])
 @pytest.mark.parametrize("kind,K", [("cheby", 5), ("mono", 4)])
 def test_conv_parity_on_stencil_path(ref, graphs, rng, method, kind, K):
