@@ -27,8 +27,26 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def multiplet_dispersion(L, lmax_fit):
-    lam = np.linalg.eigvalsh(L.toarray())
+def multiplet_dispersion(L, lmax_fit, sparse_mode=False):
+    """Mean relative within-multiplet eigenvalue dispersion over
+    l = 1..lmax_fit.
+
+    ``sparse_mode`` computes only the lowest (lmax_fit+1)^2 eigenvalues by
+    shift-invert Lanczos — the low multiplets are exactly what the
+    objective measures, and it is the only tractable route past
+    nside=32 (dense eigh at nside=64 would need a 49152^2 matrix)."""
+    n_need = (lmax_fit + 1) ** 2
+    if sparse_mode or L.shape[0] > 4096:
+        from scipy.sparse.linalg import eigsh
+
+        # sigma slightly below 0: L is PSD with a null constant mode, so
+        # sigma=0 would hand the factorization an exactly singular matrix
+        lam = np.sort(eigsh(
+            L.tocsc(), k=n_need, sigma=-1e-3, which="LM",
+            return_eigenvectors=False,
+        ))
+    else:
+        lam = np.linalg.eigvalsh(L.toarray())
     err = 0.0
     pos = 1  # skip the constant mode
     for l in range(1, lmax_fit + 1):
@@ -57,7 +75,11 @@ def width_error(nside, k, ratio):
         W, base = _grid_ring_adjacency(nside, indices, k, None)
         build = lambda w: _grid_ring_adjacency(nside, indices, k, w)[0]
     L = _normalized_laplacian(build(ratio * base))
+    # dense mode fits up to ~3nside/2 multiplets; sparse (shift-invert)
+    # mode caps the count so the Lanczos stays tractable at nside >= 64
     lmax_fit = min(3 * nside // 2, 2 * nside - 1)
+    if hp.nside2npix(nside) > 4096:
+        lmax_fit = min(lmax_fit, int(os.environ.get("DW_LMAX_FIT", 16)))
     return multiplet_dispersion(L, lmax_fit), base
 
 
@@ -92,7 +114,10 @@ def main():
                 cache[r] = width_error(nside, k, r)[0]
             return cache[r]
 
-        best = golden(f, 0.4, 2.5)
+        lo = float(os.environ.get("DW_LO", 0.4))
+        hi = float(os.environ.get("DW_HI", 2.5))
+        iters = int(os.environ.get("DW_ITERS", 16))
+        best = golden(f, lo, hi, iters=iters)
         _, base = width_error(nside, k, best)
         out[nside] = {
             "ratio": round(float(best), 4),

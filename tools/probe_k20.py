@@ -1,4 +1,4 @@
-"""On-chip bisection probe for the k=20 (radius-2, h=8) fused conv path
+"""On-chip bisection probe for the k>=20 deep-halo (radius>=2) fused conv path
 that kernel-faulted the TPU worker in the round-2 bench (VERDICT.md #2).
 
 Each invocation runs ONE config in THIS process (use a fresh process per
@@ -31,6 +31,7 @@ def main():
     nside = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     strips = sys.argv[2] if len(sys.argv) > 2 else "xla"
     contract = sys.argv[3] if len(sys.argv) > 3 else "auto"
+    k = int(sys.argv[4]) if len(sys.argv) > 4 else 20
     K, FIN, FOUT, BATCH = 5, 4, 4, 4
 
     import jax
@@ -47,10 +48,10 @@ def main():
         cfg.set_contract_mode(contract)
 
     cache = __file__.rsplit("/", 2)[0] + "/.bench_cache"
-    out = {"nside": nside, "strips": strips, "contract": contract,
+    out = {"nside": nside, "k": k, "strips": strips, "contract": contract,
            "platform": jax.devices()[0].platform}
     t0 = time.time()
-    g = build_sphere_graph(nside, k=20, method="grid", cache_dir=cache)
+    g = build_sphere_graph(nside, k=k, method="grid", cache_dir=cache)
     st = g.deep_stencil(0.75, K)
     out["build_s"] = round(time.time() - t0, 1)
     out["radius"] = int(st.radius)
