@@ -436,3 +436,50 @@ def test_sharded_autoencoder_matches_single(rng):
                                    atol=2e-6)
     finally:
         cfg_mod.set_use_pallas("auto")
+
+
+def test_transformer_model_under_mesh(rng):
+    """Attention layers under the mesh (VERDICT r2 #8): a model mixing a
+    pixel-shardable conv with a GraphTransformer builds and runs with a
+    ShardConfig — the transformer stays REPLICATED over the pixel axis
+    (documented fallback; edge-partitioned segment-sum is future work)
+    while DP comes free through XLA SPMD — and matches the unsharded
+    model; a batch-sharded jit forward partitions by data parallelism."""
+    import deepsphere_tpu as ds
+    from deepsphere_tpu.nn import healpy_layers as hp_nn
+    from deepsphere_tpu.parallel import batch_sharding
+
+    nside, B = 4, 8
+    npix = ds.sphere.healpix.nside2npix(nside)
+
+    def make_layers():
+        return [
+            hp_nn.HealpyChebyshev(K=3, Fout=4, activation="relu"),
+            hp_nn.Healpy_Transformer(key_dim=2, num_heads=2, n_layers=1),
+            hp_nn.Flatten(),
+            hp_nn.Dense(2),
+        ]
+
+    x = rng.normal(size=(B, npix, 1)).astype(np.float32)
+    m_plain = ds.HealpyGCNN(nside, np.arange(npix), make_layers())
+    v = m_plain.init(0, x)
+    y_ref = np.asarray(m_plain.apply(v, x))
+
+    # pixel-sharded conv + replicated attention in ONE model
+    mesh = make_mesh(shape=(2, 4), axis_names=("data", "pixel"))
+    cfg = ShardConfig(mesh=mesh)
+    m_shard = ds.HealpyGCNN(nside, np.arange(npix), make_layers(),
+                            shard_cfg=cfg)
+    v_s = dict(m_shard.init(0, x))
+    v_s["params"] = v["params"]  # identical trees (layout-stable naming)
+    y_s = np.asarray(m_shard.apply(v_s, x))
+    assert np.abs(y_s - y_ref).max() < 1e-5
+
+    # pure DP: batch-sharded input through jit partitions without any
+    # layer-level code (attention ops are batch-independent)
+    dp_mesh = make_mesh(shape=(8, 1), axis_names=("data", "pixel"))
+    xs = jax.device_put(jnp.asarray(x), batch_sharding(dp_mesh))
+    y_dp = np.asarray(
+        jax.jit(lambda vv, xx: m_plain.module.apply(vv, xx))(v, xs)
+    )
+    assert np.abs(y_dp - y_ref).max() < 1e-5
