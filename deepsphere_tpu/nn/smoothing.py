@@ -34,6 +34,113 @@ def _arcmin_to_rad(theta):
     return theta * np.pi / (60 * 180)
 
 
+def _template_ellpack(nside, sig, r, n_sigma_support, indices=None):
+    """Row-normalized ELLPACK of ONE narrow-template repetition of the
+    stencil decomposition (numpy only).  ``indices``: observed-pixel set
+    (None = full sphere); edges to out-of-mask pixels are dropped and
+    out-of-mask rows zeroed, mirroring the reference's masked smoothing."""
+    from ..sphere.faces import face2nest_index, halo_map
+
+    npix = hp.nside2npix(nside)
+    if indices is None:
+        indices = np.arange(npix)
+    hm = halo_map(nside, r)
+    offsets = [(dx, dy)
+               for dx in range(-r, r + 1) for dy in range(-r, r + 1)
+               if (dx, dy) != (0, 0)]
+    T = len(offsets)
+    nb_face = np.empty((npix, T), dtype=np.int64)
+    for t, (dx, dy) in enumerate(offsets):
+        nb_face[:, t] = hm[:, r + dx : r + dx + nside,
+                           r + dy : r + dy + nside].reshape(-1)
+    f2n = face2nest_index(nside)
+    nb = nb_face[f2n]  # NEST order
+
+    in_mask = np.zeros(npix, dtype=bool)
+    in_mask[indices] = True
+    valid = (nb >= 0) & in_mask[np.clip(nb, 0, npix - 1)]
+    valid &= in_mask[:, None]  # zero rows outside the mask
+
+    vec = hp.pix2vec(nside, np.arange(npix), nest=True)
+    w = np.zeros((npix, T), dtype=np.float64)
+    for t in range(T):
+        cj = np.clip(nb[:, t], 0, npix - 1)
+        chord2 = np.einsum("ij,ij->i", vec - vec[cj], vec - vec[cj])
+        ang = 2.0 * np.arcsin(np.sqrt(np.clip(chord2, 0, 4)) / 2.0)
+        wt = np.exp(-0.5 * (ang / sig) ** 2)
+        # reference truncation: keep support within n_sigma * sigma
+        wt = np.where(ang <= n_sigma_support * sig, wt, 0.0)
+        w[:, t] = np.where(valid[:, t], wt, 0.0)
+
+    # center tap (distance 0) + row normalization
+    own = np.arange(npix, dtype=np.int64)
+    center = in_mask.astype(np.float64)
+    rowsum = w.sum(axis=1) + center
+    rowsum[rowsum == 0.0] = 1.0
+    ell_idx = np.concatenate(
+        [np.where(valid, nb, own[:, None]), own[:, None]], axis=1
+    ).astype(np.int32)
+    ell_val = (
+        np.concatenate([w, center[:, None]], axis=1) / rowsum[:, None]
+    ).astype(np.float64)
+    return ell_idx, ell_val
+
+
+def _stencil_decomposition(sigma_rad, spacing, n_sigma_support):
+    """(m, per-rep sigma, template radius) of the stencil decomposition:
+    m repetitions of a sigma/sqrt(m) Gaussian whose n_sigma support fits a
+    radius-<=4 face-grid ring template (Gaussian closure, the reference's
+    own multi-scale trick at healpy_layers.py:592-621)."""
+    r_max = 4
+    m = max(1, int(np.ceil(
+        (n_sigma_support * sigma_rad / (r_max * spacing)) ** 2
+    )))
+    sig = sigma_rad / np.sqrt(m)
+    r = min(r_max, max(1, int(np.ceil(n_sigma_support * sig / spacing))))
+    return m, sig, r
+
+
+def estimate_stencil_error(sigma_rad, nside, n_sigma_support=3,
+                           nside_proxy=16, seed=0):
+    """Predicted relative L2 deviation of the stencil decomposition from
+    the reference BallTree kernel for a (sigma, nside) configuration.
+
+    Measured at a small proxy nside with the SAME sigma / pixel-spacing
+    ratio: the decomposition error is scale-free to within measurement
+    noise (error grid in ``tests/test_smoothing_fused.py``:
+    1.4-1.8% at 2 px, 2.6-3.2% at 4 px across nside 16/32), because both
+    the per-rep truncation and the m-fold composition are functions of
+    the ratio only.  Numpy-only — safe to call at model-construction time
+    (no accelerator compile)."""
+    spacing_t = hp.nside2resol(nside)
+    spacing_p = hp.nside2resol(nside_proxy)
+    sig_p = sigma_rad * spacing_p / spacing_t
+    m, sig_each, r = _stencil_decomposition(sig_p, spacing_p,
+                                            n_sigma_support)
+    npix = hp.nside2npix(nside_proxy)
+    idx_t, val_t = _template_ellpack(nside_proxy, sig_each, r,
+                                     n_sigma_support)
+
+    # reference-shaped BallTree kernel at the proxy scale
+    from sklearn.neighbors import BallTree
+
+    lon, lat = hp.pix2ang(nside_proxy, np.arange(npix), nest=True,
+                          lonlat=True)
+    theta = np.stack([np.radians(lat), np.radians(lon)], axis=1)
+    tree = BallTree(theta, metric="haversine")
+    radius = sig_p * n_sigma_support
+    kq = int(np.max(tree.query_radius(theta, r=radius, count_only=True)))
+    dist, inds = tree.query(theta, k=min(kq, npix), sort_results=True)
+    val_b = np.exp(-0.5 / sig_p**2 * dist**2)
+
+    x = np.random.RandomState(seed).normal(size=npix)
+    ys = x
+    for _ in range(m):
+        ys = (val_t * ys[idx_t]).sum(axis=1)
+    yb = (val_b * x[inds]).sum(axis=1) / val_b.sum(axis=1)
+    return float(np.linalg.norm(ys - yb) / np.linalg.norm(yb))
+
+
 class SmoothingOperator:
     """Host-side precompute of the sparse Gaussian smoothing kernel.
 
@@ -56,6 +163,14 @@ class SmoothingOperator:
     * ``"ellpack"`` — the reference-shaped fixed-width gather SpMV.
     * ``"auto"`` (default) — stencil when the support is wide (> 32
       neighbors) and the template applies, else ellpack.
+
+    The stencil decomposition approximates the BallTree kernel (measured
+    rel L2 deviation ~1.4-3.2% for sigma of 1-4 pixel scales, a function
+    of sigma/spacing only — see :func:`estimate_stencil_error`).
+    ``stencil_rel_tol`` makes ``"auto"`` quantitative: the predicted
+    error is computed at construction and the exact ELLPACK kernel is
+    kept whenever the prediction exceeds the tolerance (speed *or*
+    exactness, chosen by a stated bound instead of silently).
     """
 
     def __init__(
@@ -70,8 +185,10 @@ class SmoothingOperator:
         per_channel_repetitions=None,
         data_path=None,
         method="auto",
+        stencil_rel_tol=None,
     ):
         self.method = method
+        self.stencil_rel_tol = stencil_rel_tol
         self.stencil = None
         self.stencil_reps = 1
         self.stencil_apps = 1
@@ -127,7 +244,30 @@ class SmoothingOperator:
                 3.0 * self.nside**2
                 * (self.n_sigma_support * self.sigma_rad) ** 2
             )
-            if self.method == "stencil" or est_support > 32:
+            use_stencil = self.method == "stencil" or est_support > 32
+            if (use_stencil and self.method == "auto"
+                    and stencil_rel_tol is not None):
+                # tolerance gate: predict the decomposition's deviation
+                # from the BallTree kernel at a small proxy nside (the
+                # error is a function of sigma/pixel-spacing only) and
+                # keep the exact ELLPACK kernel when it exceeds the ask
+                err = estimate_stencil_error(
+                    self.sigma_rad, self.nside, self.n_sigma_support
+                )
+                self.stencil_rel_err_est = err
+                if err > stencil_rel_tol:
+                    logger.info(
+                        f"Stencil decomposition predicted rel L2 error "
+                        f"{err:.4f} > stencil_rel_tol={stencil_rel_tol}: "
+                        f"using the exact (BallTree/ELLPACK) kernel"
+                    )
+                    use_stencil = False
+                else:
+                    logger.info(
+                        f"Stencil decomposition predicted rel L2 error "
+                        f"{err:.4f} <= stencil_rel_tol={stencil_rel_tol}"
+                    )
+            if use_stencil:
                 self._build_stencil()
         if self.stencil is not None:
             import hashlib
@@ -191,16 +331,8 @@ class SmoothingOperator:
         nside = self.nside
         npix = hp.nside2npix(nside)
         spacing = hp.nside2resol(nside)  # radians, mean pixel scale
-        r_max = 4
-        m = max(
-            1,
-            int(np.ceil(
-                (self.n_sigma_support * self.sigma_rad / (r_max * spacing))
-                ** 2
-            )),
-        )
-        sig = self.sigma_rad / np.sqrt(m)
-        r = min(r_max, max(1, int(np.ceil(self.n_sigma_support * sig / spacing))))
+        m, sig, r = _stencil_decomposition(self.sigma_rad, spacing,
+                                           self.n_sigma_support)
 
         class _EllGraph:
             """Duck-typed graph carrying a prebuilt full-sphere template
@@ -262,47 +394,8 @@ class SmoothingOperator:
             self.stencil_apps = n_apps
             return
 
-        hm = halo_map(nside, r)
-        offsets = [(dx, dy)
-                   for dx in range(-r, r + 1) for dy in range(-r, r + 1)
-                   if (dx, dy) != (0, 0)]
-        T = len(offsets)
-        nb_face = np.empty((npix, T), dtype=np.int64)
-        for t, (dx, dy) in enumerate(offsets):
-            nb_face[:, t] = hm[:, r + dx : r + dx + nside,
-                               r + dy : r + dy + nside].reshape(-1)
-        f2n = face2nest_index(nside)
-        nb = nb_face[f2n]  # NEST order
-
-        in_mask = np.zeros(npix, dtype=bool)
-        in_mask[self.indices] = True
-        valid = (nb >= 0) & in_mask[np.clip(nb, 0, npix - 1)]
-        valid &= in_mask[:, None]  # zero rows outside the mask
-
-        vec = hp.pix2vec(nside, np.arange(npix), nest=True)
-        w = np.zeros((npix, T), dtype=np.float64)
-        for t in range(T):
-            cj = np.clip(nb[:, t], 0, npix - 1)
-            chord2 = np.einsum("ij,ij->i", vec - vec[cj], vec - vec[cj])
-            ang = 2.0 * np.arcsin(np.sqrt(np.clip(chord2, 0, 4)) / 2.0)
-            wt = np.exp(-0.5 * (ang / sig) ** 2)
-            # reference truncation: keep support within n_sigma * sigma
-            wt = np.where(ang <= self.n_sigma_support * sig, wt, 0.0)
-            w[:, t] = np.where(valid[:, t], wt, 0.0)
-
-        # center tap (distance 0) + row normalization
-        own = np.arange(npix, dtype=np.int64)
-        center = in_mask.astype(np.float64)
-        rowsum = w.sum(axis=1) + center
-        rowsum[rowsum == 0.0] = 1.0
-        ell_idx = np.concatenate(
-            [np.where(valid, nb, own[:, None]), own[:, None]], axis=1
-        ).astype(np.int32)
-        ell_val = (
-            np.concatenate([w, center[:, None]], axis=1) / rowsum[:, None]
-        ).astype(np.float64)
-
-        g._ell = (ell_idx, ell_val)
+        g._ell = _template_ellpack(nside, sig, r, self.n_sigma_support,
+                                   self.indices)
         self.stencil = face_stencil(g, 0.0, n_steps=r * n_apps)
         save_stencil_cache(self.stencil, g, self.data_path)
         self.stencil_reps = m
