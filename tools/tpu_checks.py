@@ -19,6 +19,8 @@ Env:    TC_STAGES selects stages (default all):
         4 = Mosaic bf16 construct probes (informs the bf16-I/O design)
         5 = bf16 HBM-I/O (stage B) correctness at TC_SMALL_NSIDE
         6 = bf16 HBM-I/O conv + train timing at the headline nside
+        7 = deep-halo k in {20,40,60} correctness vs ELLPACK + timing
+            (configs via TC_DEEP, default "20:256,40:128,60:128")
 """
 
 import json
@@ -33,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 NSIDE = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
 SMALL_NSIDE = int(os.environ.get("TC_SMALL_NSIDE", 128))
 K, FIN, FOUT, BATCH = 5, 4, 4, 4
-STAGES = set(os.environ.get("TC_STAGES", "0,1,2,3,4,5,6").split(","))
+STAGES = set(os.environ.get("TC_STAGES", "0,1,2,3,4,5,6,7").split(","))
 
 
 def bank(name, **kv):
@@ -443,6 +445,65 @@ def main():
         bank("train_bf16", error=str(e)[:300])
     finally:
         ds_config.set_conv_dtype("float32")
+
+    # -- stage 7: deep-halo k in {20, 40, 60} (radius 2/3/4) --------------
+    # correctness vs the ELLPACK gather path + timing — the reference
+    # treats these degrees as first-class (healpy_networks.py:39-42), and
+    # the radius-2 path VMEM-OOMed the round-2 bench before the band-
+    # sizing fix (ops/pallas_stencil._vmem_est lap_temps)
+    if "7" in STAGES:
+        from deepsphere_tpu.ops.spmv import chebyshev_basis, graph_conv
+        from deepsphere_tpu.sphere.faces import face2nest_index
+
+        deep_cfgs = os.environ.get(
+            "TC_DEEP", "20:256,40:128,60:128"
+        ).split(",")
+        for spec in deep_cfgs:
+            kk, ns = (int(v) for v in spec.split(":"))
+            name = f"deep_k{kk}_n{ns}"
+            try:
+                g = build_sphere_graph(ns, k=kk, method="grid",
+                                       cache_dir=cache)
+                stk = g.deep_stencil(0.75, K)
+                tk = jax.device_put(stencil_tables(stk))
+                kern = jnp.asarray(
+                    rng.normal(scale=0.1, size=(FIN * K, FOUT)), jnp.float32
+                )
+                xn = rng.normal(size=(BATCH, g.n_pixels, FIN)).astype(
+                    np.float32
+                )
+                idx_np, val_np = g.ellpack(0.75)
+                ell = jax.device_put({"idx": idx_np, "val": val_np})
+                y_ref_nest = np.asarray(jax.jit(
+                    lambda e, x, kr: graph_conv(
+                        lambda x2d, nt: chebyshev_basis(
+                            e["idx"], e["val"], x2d, nt
+                        ), x, kr, K,
+                    )
+                )(ell, jnp.asarray(xn), kern))
+                del ell
+                f2n = face2nest_index(ns)
+                xf = np.empty_like(xn)
+                xf[:, f2n, :] = xn
+                y_ref = np.empty_like(y_ref_nest)
+                y_ref[:, f2n, :] = y_ref_nest
+
+                @jax.jit
+                def convk(tables, x, kr, stk=stk):
+                    return stencil_graph_conv(
+                        stk, x, kr, K, "cheby", tables=tables, layout="face"
+                    )
+
+                xj = jnp.asarray(xf)
+                yk = np.asarray(convk(tk, xj, kern))
+                err = float(np.abs(yk - y_ref).max())
+                dt = timed(convk, tk, xj, kern, n_iters=10)
+                bank(name, radius=int(stk.radius), h=int(stk.n_steps),
+                     max_abs_err=err, ok=err < 1e-4,
+                     step_ms=round(dt * 1e3, 2))
+                del tk, xj
+            except Exception as e:
+                bank(name, error=str(e)[:300])
 
 
 if __name__ == "__main__":
