@@ -479,6 +479,43 @@ class TestRingStencil:
         np.testing.assert_allclose(y_st, y_el, atol=1e-4)
 
     @pytest.mark.slow
+    def test_ring_fused_pallas_radius3_multiband(self, rng, monkeypatch):
+        """The fused Pallas kernel (interpret mode) on a RADIUS-3 stencil
+        (k=40, K=5 -> h=12) with the band height squeezed to Tr=16 so the
+        multi-band window-DMA path runs (nbands=2).  Radius 3/4 had no
+        interpret coverage before round 3; the round-2 on-chip k=40 fault
+        at nside=128 made that gap visible (VERDICT.md round 2, #2)."""
+        import jax
+
+        import deepsphere_tpu.config as cfg
+        import deepsphere_tpu.nn.layers as L
+        from deepsphere_tpu.ops import pallas_stencil as ps
+
+        monkeypatch.setenv("DS_PALLAS_VMEM_MB", "2")  # force Tr=16
+        cfg.set_use_pallas("on")
+        try:
+            nside, k, K = 32, 40, 5
+            g = build_sphere_graph(nside, k=k, method="grid")
+            st = g.deep_stencil(0.75, K)
+            assert st is not None and st.radius == 3 and st.n_steps == 12
+            n, h, R, P, Tr, Sd = ps._band_geometry(st, C=2, cout=2)
+            assert n // Tr >= 2, (Tr, "multi-band path not engaged")
+
+            x = jnp.asarray(rng.normal(size=(1, g.n_pixels, 2)), jnp.float32)
+            conv_st = L.ChebyshevConv(graph=g, K=K, Fout=2,
+                                      conv_method="stencil")
+            conv_el = L.ChebyshevConv(graph=g, K=K, Fout=2,
+                                      conv_method="ellpack")
+            v = conv_st.init(jax.random.key(0), x)
+            v_el = conv_el.init(jax.random.key(1), x)
+            v_el = {**v_el, "params": v["params"]}
+            y_st = np.asarray(jax.jit(conv_st.apply)(v, x))
+            y_el = np.asarray(jax.jit(conv_el.apply)(v_el, x))
+            np.testing.assert_allclose(y_st, y_el, atol=1e-4)
+        finally:
+            cfg.set_use_pallas("auto")
+
+    @pytest.mark.slow
     def test_ring_fused_pallas_matches_ellpack(self, rng):
         """The fused Pallas kernel (interpret mode) on a radius-2 stencil:
         forward + gradients against the gather path."""
