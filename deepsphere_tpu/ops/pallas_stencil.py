@@ -95,10 +95,30 @@ def cfp_structural_available(st: FaceStencil, kind, n_terms):
 
 
 def fused_available(st: FaceStencil, kind, n_terms):
-    """Whether the fused kernel runs here (structure + a pallas backend)."""
-    if config.pallas_mode() is None:
+    """Whether the fused kernel runs here (structure + a pallas backend).
+
+    Verified-envelope gate (round 3): deep (multi-lap) radius>=3 kernels
+    hard-fault the real TPU worker at nside>=64 even with the recursion,
+    contraction, and lane stores individually disabled (DS_KB bisection,
+    tools/probe_k20.py + tools/probe_r3_constructs.py — every isolated
+    construct passes; radius-2 passes at the same h=16/R=16 and multi-tile
+    lane geometries; radius-3 single-lap passes at 2.72 ms).  Until the
+    Mosaic-level root cause is fixed, compiled (real-chip) execution
+    declines radius>=3 multi-lap and any radius>=4 config and falls back
+    to the per-step XLA stencil path (correct, slower).  Interpret mode
+    (CPU tests) is unaffected.  DS_ALLOW_FUSED_R3=1 overrides the gate
+    for on-chip experimentation."""
+    mode = config.pallas_mode()
+    if mode is None:
         return False
-    return cfp_structural_available(st, kind, n_terms)
+    if not cfp_structural_available(st, kind, n_terms):
+        return False
+    radius = getattr(st, "radius", 1) or 1
+    if (mode == "compile" and radius >= 3
+            and (radius >= 4 or st.n_steps > radius)
+            and os.environ.get("DS_ALLOW_FUSED_R3", "0") != "1"):
+        return False
+    return True
 
 
 def cfp_geometry(n, h):

@@ -478,6 +478,33 @@ class TestRingStencil:
         y_el = np.asarray(conv_el.apply(v_el, x))
         np.testing.assert_allclose(y_st, y_el, atol=1e-4)
 
+    def test_fused_gate_declines_deep_radius3_on_chip(self, monkeypatch):
+        """Verified-envelope gate: compiled (real-TPU) execution declines
+        radius>=3 multi-lap fused kernels (known worker fault, see
+        PERFORMANCE.md round-3 notes) and falls back to the XLA stencil
+        path; interpret mode and radius<=2 are unaffected;
+        DS_ALLOW_FUSED_R3=1 overrides."""
+        import deepsphere_tpu.config as cfg
+        from deepsphere_tpu.ops import pallas_stencil as ps
+
+        g3 = build_sphere_graph(32, k=40, method="grid")
+        st3 = g3.deep_stencil(0.75, 5)  # radius 3, h = 12 (multi-lap)
+        assert st3 is not None and st3.radius == 3
+        g2 = build_sphere_graph(32, k=20, method="grid")
+        st2 = g2.deep_stencil(0.75, 5)  # radius 2, h = 8
+        assert st2 is not None and st2.radius == 2
+
+        monkeypatch.setattr(cfg, "pallas_mode", lambda: "compile")
+        assert not ps.fused_available(st3, "cheby", 5)
+        assert ps.fused_available(st2, "cheby", 5)
+        monkeypatch.setenv("DS_ALLOW_FUSED_R3", "1")
+        assert ps.fused_available(st3, "cheby", 5)
+        monkeypatch.delenv("DS_ALLOW_FUSED_R3")
+
+        # interpret mode (CPU tests) keeps the fused path for radius 3
+        monkeypatch.setattr(cfg, "pallas_mode", lambda: "interpret")
+        assert ps.fused_available(st3, "cheby", 5)
+
     @pytest.mark.slow
     def test_ring_fused_pallas_radius3_multiband(self, rng, monkeypatch):
         """The fused Pallas kernel (interpret mode) on a RADIUS-3 stencil

@@ -19,6 +19,7 @@ Sequence used for the bisection (one subprocess each):
 """
 
 import json
+import os
 import sys
 import time
 
@@ -32,7 +33,8 @@ def main():
     strips = sys.argv[2] if len(sys.argv) > 2 else "xla"
     contract = sys.argv[3] if len(sys.argv) > 3 else "auto"
     k = int(sys.argv[4]) if len(sys.argv) > 4 else 20
-    K, FIN, FOUT, BATCH = 5, 4, 4, 4
+    K = int(os.environ.get("PROBE_K", 5))
+    FIN, FOUT, BATCH = 4, 4, 4
 
     import jax
     import jax.numpy as jnp
@@ -46,6 +48,11 @@ def main():
     cfg.set_strips_mode(strips)
     if contract != "auto":
         cfg.set_contract_mode(contract)
+    if os.environ.get("DS_KB"):
+        # kernel-piece bisection (norecur / nocontract / nolanestore):
+        # correctness vs the reference is then expected to FAIL — the
+        # signal is whether the chip survives the run at all
+        cfg.set_debug_kernel_bisect(True)
 
     cache = __file__.rsplit("/", 2)[0] + "/.bench_cache"
     out = {"nside": nside, "k": k, "strips": strips, "contract": contract,
