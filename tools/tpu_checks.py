@@ -20,7 +20,7 @@ Env:    TC_STAGES selects stages (default all):
         5 = bf16 HBM-I/O (stage B) correctness at TC_SMALL_NSIDE
         6 = bf16 HBM-I/O conv + train timing at the headline nside
         7 = deep-halo k in {20,40,60} correctness vs ELLPACK + timing
-            (configs via TC_DEEP, default "20:256,40:128,60:128")
+            (configs via TC_DEEP, default "20:256,40:128,60:64")
 """
 
 import json
@@ -455,8 +455,13 @@ def main():
         from deepsphere_tpu.ops.spmv import chebyshev_basis, graph_conv
         from deepsphere_tpu.sphere.faces import face2nest_index
 
+        # k=20 exercises the fused radius-2 kernel; k=40/60 now validate
+        # the gated XLA fallback (fused radius>=3 multi-lap declines on
+        # real TPU — see ops.pallas_stencil.fused_available).  k=60 runs
+        # at nside=64: its grid-graph build at 128 is >10 min of host
+        # numpy, which starves the unattended queue
         deep_cfgs = os.environ.get(
-            "TC_DEEP", "20:256,40:128,60:128"
+            "TC_DEEP", "20:256,40:128,60:64"
         ).split(",")
         for spec in deep_cfgs:
             kk, ns = (int(v) for v in spec.split(":"))
