@@ -118,6 +118,16 @@ def fused_available(st: FaceStencil, kind, n_terms):
             and (radius >= 4 or st.n_steps > radius)
             and os.environ.get("DS_ALLOW_FUSED_R3", "0") != "1"):
         return False
+    # Second verified-envelope axis (round 3): halo depths h > 8 that are
+    # NOT sublane-aligned also fault the worker — radius-1 K=10 (h=9, the
+    # quick_start architecture) crashes the bench model stage on a clean
+    # chip, while h=4/8 (radius 1/2) and h=16 (radius-2, K=9, 23.6 ms)
+    # all pass.  Combined with the radius-3 h=12 fault above, the common
+    # signature is an unaligned h beyond one sublane tile.  Decline those
+    # in compiled mode (XLA fallback); DS_ALLOW_FUSED_HODD=1 overrides.
+    if (mode == "compile" and st.n_steps > 8 and st.n_steps % 8
+            and os.environ.get("DS_ALLOW_FUSED_HODD", "0") != "1"):
+        return False
     return True
 
 

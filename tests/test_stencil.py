@@ -497,13 +497,34 @@ class TestRingStencil:
         monkeypatch.setattr(cfg, "pallas_mode", lambda: "compile")
         assert not ps.fused_available(st3, "cheby", 5)
         assert ps.fused_available(st2, "cheby", 5)
+        # st3 has h=12 (> 8, unaligned), so restoring it needs BOTH
+        # gate overrides (radius AND halo-alignment)
         monkeypatch.setenv("DS_ALLOW_FUSED_R3", "1")
+        assert not ps.fused_available(st3, "cheby", 5)
+        monkeypatch.setenv("DS_ALLOW_FUSED_HODD", "1")
         assert ps.fused_available(st3, "cheby", 5)
         monkeypatch.delenv("DS_ALLOW_FUSED_R3")
+        monkeypatch.delenv("DS_ALLOW_FUSED_HODD")
+
+        # second axis: unaligned halo depths beyond one sublane tile
+        # (h > 8, h % 8 != 0) also fault the chip — radius-1 K=10 (h=9,
+        # the quick_start architecture) crashed the bench model stage
+        g1 = build_sphere_graph(32, k=8, method="grid")
+        st_h9 = g1.deep_stencil(0.75, 10)  # radius 1, h = 9
+        assert st_h9 is not None and st_h9.n_steps == 9
+        st_h8 = g1.deep_stencil(0.75, 9)  # radius 1, h = 8 (verified good)
+        assert st_h8 is not None and st_h8.n_steps == 8
+        assert not ps.fused_available(st_h9, "cheby", 10)
+        assert ps.fused_available(st_h8, "cheby", 9)
+        monkeypatch.setenv("DS_ALLOW_FUSED_HODD", "1")
+        assert ps.fused_available(st_h9, "cheby", 10)
+        monkeypatch.delenv("DS_ALLOW_FUSED_HODD")
 
         # interpret mode (CPU tests) keeps the fused path for radius 3
+        # and for unaligned-h configs
         monkeypatch.setattr(cfg, "pallas_mode", lambda: "interpret")
         assert ps.fused_available(st3, "cheby", 5)
+        assert ps.fused_available(st_h9, "cheby", 10)
 
     @pytest.mark.slow
     def test_ring_fused_pallas_radius3_multiband(self, rng, monkeypatch):
