@@ -16,11 +16,18 @@ printed.  The fix is structural, not more try/excepts:
   stdout after every sub-measurement, so even a child that dies mid-stage
   banks everything it measured before the fault.
 * Every child gets a hard timeout derived from the remaining wall-clock
-  budget (``BENCH_BUDGET_S``, default 2100 s), so a hung remote compile
-  cannot overrun the driver's budget either.
-* Stages known to have faulted the chip in the past (k20, smooth) run
-  LAST, each in its own child; after a crash signature the parent sleeps
-  ``BENCH_RECOVER_S`` to let the TPU worker restart before the next child.
+  budget (``BENCH_BUDGET_S``, default 1350 s — the driver's observed
+  end-of-round wall clock is ~25-29 min), so a hung remote compile cannot
+  overrun the driver's budget either.
+* The parent prints the full cumulative result JSON after EVERY stage
+  (round-4 redesign): the driver parses the LAST JSON line, so even a
+  SIGKILL of the parent mid-run leaves the headline banked.  Round 3's
+  official artifact was rc=124/parsed=null for exactly this reason — the
+  framework measured 289 maps/s but the one-shot final print sat behind a
+  ``finally`` that a SIGKILL never runs.
+* Stages run headline-first (core, then the model stage); after a crash
+  signature the parent sleeps ``BENCH_RECOVER_S`` to let the TPU worker
+  restart before the next child.
 * Failure injection for testing: ``BENCH_INJECT_FAIL=stage1,stage2`` makes
   those children raise; ``BENCH_INJECT_HANG=stage`` makes them hang (to
   exercise the timeout kill).  ``tests/test_bench_harness.py`` proves the
@@ -56,7 +63,7 @@ FOUT = 4
 BATCH = int(os.environ.get("BENCH_BATCH", 4))
 REFERENCE_MAPS_PER_SEC = 16 / 0.6  # quick_start.ipynb cell 16 output
 
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 2100))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1350))
 # minimum useful child runtime: below this, don't even launch the stage
 MIN_STAGE_S = float(os.environ.get("BENCH_MIN_STAGE_S", 90))
 # pause after a chip-fault signature so the TPU worker can restart
@@ -65,17 +72,19 @@ _T0 = time.time()
 
 MARKER = "BENCH-STAGE-RESULT "
 
-# (name, default-on, wall-clock cap seconds).  Order matters: the two
-# stages that have previously faulted the TPU worker (k20, smooth) run
-# last so a dead chip cannot cost anything already measured.
+# (name, default-on, wall-clock cap seconds).  Order is headline-first:
+# the parent prints a full, driver-parseable result JSON line after EVERY
+# stage (the driver reads the LAST JSON line), so even a SIGKILL mid-run
+# leaves everything measured so far banked — round 3's official artifact
+# was rc=124/parsed=null because the single final print never ran.
 STAGES = [
-    ("core", "1", 1800.0),
-    ("model", "1", 700.0),
-    ("gather", "1", 500.0),
+    ("core", "1", 900.0),
+    ("model", "1", 400.0),
+    ("k20", "1", 400.0),
+    ("smooth", "1", 400.0),
+    ("gather", "1", 300.0),
     ("bf16", "0", 700.0),
     ("bf16_io", "0", 700.0),
-    ("k20", "1", 700.0),
-    ("smooth", "1", 700.0),
 ]
 
 
@@ -251,7 +260,10 @@ def stage_core(extra):
 
 def stage_gather(extra):
     """ELLPACK gather-path conv (the pre-stencil formulation) for the
-    stencil_speedup comparison."""
+    stencil_speedup comparison.  This path measured 13.5 s/STEP in round 1
+    and its round-3 child burned a full 500 s cap banking nothing — so it
+    banks incrementally (after compile, after the first step) and times
+    exactly one chained step."""
     jax = _jax()
     import jax.numpy as jnp
 
@@ -278,8 +290,15 @@ def stage_gather(extra):
             x, kernel, K,
         )
 
-    dt_g = _time(conv_gather, ell, x, kernel, n_iters=2)
-    extra["gather_path_step_ms"] = round(dt_g * 1e3, 2)
+    t0 = time.time()
+    z = conv_gather(ell, x, kernel)  # compile + first execution
+    np.asarray(z[(0,) * z.ndim])
+    extra["gather_compile_s"] = round(time.time() - t0, 1)
+    _bank(extra)
+    t0 = time.time()
+    z = conv_gather(ell, z, kernel)  # one chained, compile-free step
+    np.asarray(z[(0,) * z.ndim])
+    extra["gather_path_step_ms"] = round((time.time() - t0) * 1e3, 2)
     _bank(extra)
 
 
@@ -447,7 +466,14 @@ def stage_k20(extra):
     err = float(np.max(np.abs(y20 - y_ref)))
     extra["k20_nside"] = n20
     extra["k20_max_abs_err"] = err
+    extra["k20_ok"] = bool(err < 1e-4)
     _bank(extra)
+    if not extra["k20_ok"]:
+        # correctness gates the timing: a wrong-but-fast kernel must not
+        # publish a number (ADVICE.md round 3)
+        extra["k20_error"] = f"max_abs_err {err:.3g} >= 1e-4; timing not banked"
+        _bank(extra)
+        return
 
     dt20 = _time(conv20, t20, x20, kernel, n_iters=10)
     extra["k20_step_ms"] = round(dt20 * 1e3, 2)
@@ -670,9 +696,13 @@ def _run_stage_child(name, timeout_s, extra, env_extra=None):
             tail = line  # keep last non-marker line for diagnostics
     if banked:
         extra.update(banked)
-    if rc not in (0, None) and not banked:
-        extra[name + "_error"] = (
-            f"child rc={rc}: {tail[:200]}" if tail else f"child rc={rc}"
+    if rc not in (0, None):
+        # record the failure even when marker lines were banked first —
+        # e.g. a child that banks an error metric, then faults before
+        # timing, must not leave the final JSON silently incomplete
+        extra.setdefault(
+            name + "_error",
+            f"child rc={rc}: {tail[:200]}" if tail else f"child rc={rc}",
         )
     err_text = str(extra.get(name + "_error") or "")
     crashed = (rc is not None and rc != 0) or any(
@@ -682,6 +712,24 @@ def _run_stage_child(name, timeout_s, extra, env_extra=None):
           f"(rc={rc}, banked={banked is not None})",
           file=sys.stderr, flush=True)
     return crashed
+
+
+def _result(extra):
+    """The driver-facing result JSON for the current state of ``extra``."""
+    step_ms = extra.get("step_ms")
+    maps_per_sec = BATCH / (step_ms / 1e3) if step_ms else 0.0
+    if extra.get("gather_path_step_ms") and step_ms:
+        extra["stencil_speedup"] = round(
+            extra["gather_path_step_ms"] / step_ms, 2
+        )
+    return {
+        "metric": f"maps/sec/chip nside={NSIDE} K={K} Chebyshev conv fwd "
+                  f"(Fin={FIN} Fout={FOUT} batch={BATCH})",
+        "value": round(maps_per_sec, 3),
+        "unit": "maps/s",
+        "vs_baseline": round(maps_per_sec / REFERENCE_MAPS_PER_SEC, 3),
+        "extra": extra,
+    }
 
 
 def parent_main():
@@ -698,6 +746,10 @@ def parent_main():
             # timeout so the final JSON prints inside the driver's budget
             timeout_s = min(cap, max(remaining - 30, MIN_STAGE_S))
             crashed = _run_stage_child(name, timeout_s, extra)
+            # bank the current cumulative result NOW: the driver parses the
+            # LAST JSON line, so a SIGKILL during any later stage still
+            # leaves everything measured so far on the record
+            print(json.dumps(_result(extra)), flush=True)
             if name == "core" and "step_ms" not in extra:
                 # headline never banked (fused kernel may have poisoned the
                 # child's runtime before the in-child fallback could run):
@@ -714,6 +766,7 @@ def parent_main():
                         env_extra={"DS_USE_PALLAS": "off"},
                     )
                     extra.setdefault("fallback", "xla_stencil (fresh child)")
+                    print(json.dumps(_result(extra)), flush=True)
             if crashed and RECOVER_S > 0:
                 # chip-fault signature: give the TPU worker time to restart
                 # before the next child connects
@@ -727,25 +780,9 @@ def parent_main():
     except BaseException as e:  # noqa: BLE001 — the finally must still print
         extra["orchestrator_error"] = f"{type(e).__name__}: {e}"[:200]
     finally:
-        step_ms = extra.get("step_ms")
-        if step_ms:
-            maps_per_sec = BATCH / (step_ms / 1e3)
-        else:
-            maps_per_sec = 0.0
+        if not extra.get("step_ms"):
             extra.setdefault("headline_error", "no step_ms measured")
-        if extra.get("gather_path_step_ms") and step_ms:
-            extra["stencil_speedup"] = round(
-                extra["gather_path_step_ms"] / step_ms, 2
-            )
-        result = {
-            "metric": f"maps/sec/chip nside={NSIDE} K={K} Chebyshev conv fwd "
-                      f"(Fin={FIN} Fout={FOUT} batch={BATCH})",
-            "value": round(maps_per_sec, 3),
-            "unit": "maps/s",
-            "vs_baseline": round(maps_per_sec / REFERENCE_MAPS_PER_SEC, 3),
-            "extra": extra,
-        }
-        print(json.dumps(result), flush=True)
+        print(json.dumps(_result(extra)), flush=True)
 
 
 def main():
