@@ -420,12 +420,24 @@ class SphereGraph:
 
     def deep_stencil(self, scale, n_terms):
         """The stencil sized for a FUSED (n_terms - 1)-application conv:
-        halo depth = radius * (n_terms - 1).  None when unavailable."""
+        halo depth >= radius * (n_terms - 1).  None when unavailable.
+
+        Depths beyond one sublane tile are rounded UP to the tile (8 rows):
+        on real TPU hardware the fused kernel's window DMA geometry is
+        Mosaic-verified only for h <= 8 or h % 8 == 0 — unaligned deeper
+        halos (radius-1 K=10 -> h=9, radius-3 K=5 -> h=12) hard-fault the
+        chip (PERFORMANCE.md round-3 finding).  The padded rows carry
+        valid-but-unused halo margin, so the recursion is exact either way,
+        and the padded configs land in the verified class (h=16/24/...).
+        """
         r = self.stencil_radius
         if r is None:
             return None
-        n_apps = max(int(n_terms) - 1, 1)
-        return self.face_stencil(scale, n_steps=r * n_apps)
+        need = r * max(int(n_terms) - 1, 1)
+        h = need if need <= 8 else -(-need // 8) * 8
+        if h >= self.nside:  # padding may not exceed the face size
+            h = need
+        return self.face_stencil(scale, n_steps=h)
 
     def face_stencil(self, scale, n_steps=None):
         """Stencil form of the rescaled Laplacian on the 12-face layout

@@ -260,10 +260,16 @@ def face_stencil(graph, scale, n_steps=None):
     strict = getattr(graph, "method", "grid") != "knn"
     if n_steps is None:
         n_steps = radius
-    if n_steps < radius or n_steps % radius or n_steps >= nside:
+    # n_steps is a halo DEPTH in rows, not a lap count: any depth >=
+    # radius*(laps) supports that many fused applications (the extra rows
+    # are valid-but-unused margin).  Depths that are not a multiple of the
+    # radius are legal — the fused kernel pads unaligned depths up to the
+    # sublane tile (deep_stencil), which is what keeps its compiled DMA
+    # geometry inside the Mosaic-verified 8-aligned envelope.
+    if n_steps < radius or n_steps >= nside:
         raise ValueError(
-            f"n_steps (halo depth) must be a multiple of the stencil "
-            f"radius {radius} in [{radius}, nside), got {n_steps}"
+            f"n_steps (halo depth) must be in [radius={radius}, nside), "
+            f"got {n_steps}"
         )
 
     ell_idx, ell_val = graph.ellpack(scale)

@@ -84,49 +84,42 @@ def cfp_structural_available(st: FaceStencil, kind, n_terms):
         return False
     if n_terms < 2:
         return False
-    h = getattr(st, "radius", 1) * (n_terms - 1)  # halo depth
+    h = st.n_steps  # halo depth (may exceed the strict radius*(K-1)
+    # requirement: deep_stencil rounds unaligned depths up to the sublane
+    # tile; the extra rows are valid-but-unused margin)
+    if h < getattr(st, "radius", 1) * (n_terms - 1):
+        return False
     # window DMA pieces need 8-aligned row slices: n must be a multiple of
     # 8 and at least the R = roundup(h, 8) window margin; both lane-halo
     # strips pack into one 128-lane DMA array (west at [0,h), east at
     # [h,2h)), so 2h must fit a lane tile
     if st.nside % 8 or st.nside < _round_up(h, 8) or 2 * h > 128:
         return False
-    return st.n_steps == h
+    return True
 
 
 def fused_available(st: FaceStencil, kind, n_terms):
     """Whether the fused kernel runs here (structure + a pallas backend).
 
-    Verified-envelope gate (round 3): deep (multi-lap) radius>=3 kernels
-    hard-fault the real TPU worker at nside>=64 even with the recursion,
-    contraction, and lane stores individually disabled (DS_KB bisection,
-    tools/probe_k20.py + tools/probe_r3_constructs.py — every isolated
-    construct passes; radius-2 passes at the same h=16/R=16 and multi-tile
-    lane geometries; radius-3 single-lap passes at 2.72 ms).  Until the
-    Mosaic-level root cause is fixed, compiled (real-chip) execution
-    declines radius>=3 multi-lap and any radius>=4 config and falls back
-    to the per-step XLA stencil path (correct, slower).  Interpret mode
-    (CPU tests) is unaffected.  DS_ALLOW_FUSED_R3=1 overrides the gate
-    for on-chip experimentation."""
+    Verified-envelope gate (rounds 3-4): on real TPU hardware, halo depths
+    h > 8 that are NOT sublane-aligned hard-fault the worker at a Mosaic
+    level below anything visible in the kernel source — radius-1 K=10
+    (h=9, the quick_start architecture) and radius-3 K=5 (h=12) both
+    crash a clean chip, while h<=8 and every 8-aligned deeper h (16, 24)
+    pass; piece-level bisection (tools/probe_r3_constructs.py, DS_KB)
+    shows every construct passing in isolation and pure window DMA still
+    faulting.  Round-4 mitigation: :meth:`deep_stencil` rounds unaligned
+    depths UP to the sublane tile (valid-but-unused margin rows), so every
+    stencil built through the framework lands in the verified class and
+    runs fused.  This gate remains only for hand-built stencils with an
+    explicitly unaligned ``n_steps``; those fall back to the per-step XLA
+    stencil path (correct, slower).  Interpret mode (CPU) is unaffected."""
     mode = config.pallas_mode()
     if mode is None:
         return False
     if not cfp_structural_available(st, kind, n_terms):
         return False
-    radius = getattr(st, "radius", 1) or 1
-    if (mode == "compile" and radius >= 3
-            and (radius >= 4 or st.n_steps > radius)
-            and os.environ.get("DS_ALLOW_FUSED_R3", "0") != "1"):
-        return False
-    # Second verified-envelope axis (round 3): halo depths h > 8 that are
-    # NOT sublane-aligned also fault the worker — radius-1 K=10 (h=9, the
-    # quick_start architecture) crashes the bench model stage on a clean
-    # chip, while h=4/8 (radius 1/2) and h=16 (radius-2, K=9, 23.6 ms)
-    # all pass.  Combined with the radius-3 h=12 fault above, the common
-    # signature is an unaligned h beyond one sublane tile.  Decline those
-    # in compiled mode (XLA fallback); DS_ALLOW_FUSED_HODD=1 overrides.
-    if (mode == "compile" and st.n_steps > 8 and st.n_steps % 8
-            and os.environ.get("DS_ALLOW_FUSED_HODD", "0") != "1"):
+    if mode == "compile" and st.n_steps > 8 and st.n_steps % 8:
         return False
     return True
 

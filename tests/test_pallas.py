@@ -129,6 +129,39 @@ def test_fused_deep_halo_window_margin(rng):
 
 
 @pytest.mark.slow
+def test_fused_padded_halo_radius1_K10(rng):
+    """Round-4 un-gating: the quick_start architecture (radius-1 K=10,
+    needed halo 9) is built through :meth:`deep_stencil`, which pads the
+    unaligned depth up to the sublane tile (n_steps=16) so the compiled
+    DMA geometry lands in the Mosaic-verified 8-aligned class.  The 7
+    extra margin rows carry valid-but-unused halo; the recursion must
+    stay exact (forward AND gradients vs the gather path)."""
+    g = build_sphere_graph(32, k=8, method="grid")
+    K = 10
+    st = g.deep_stencil(0.75, K)
+    assert st is not None and st.radius == 1 and st.n_steps == 16
+    assert fused_available(st, "cheby", K)
+    tables = {k: jnp.asarray(v) for k, v in stencil_tables(st).items()}
+    B, Fin, Fout = 2, 2, 3
+    x = jnp.asarray(rng.normal(size=(B, g.n_pixels, Fin)), jnp.float32)
+    kern = jnp.asarray(rng.normal(size=(Fin * K, Fout)), jnp.float32)
+    y_ref = _ref_conv(g, "cheby", x, kern, K, 0.75)
+    y = stencil_graph_conv(st, x, kern, K, "cheby", tables=tables)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-3)
+
+    def loss_fused(x, k):
+        return jnp.sum(stencil_graph_conv(st, x, k, K, "cheby", tables=tables) ** 2)
+
+    def loss_ref(x, k):
+        return jnp.sum(_ref_conv(g, "cheby", x, k, K, 0.75) ** 2)
+
+    gx1, gk1 = jax.grad(loss_fused, argnums=(0, 1))(x, kern)
+    gx2, gk2 = jax.grad(loss_ref, argnums=(0, 1))(x, kern)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2), rtol=2e-3, atol=2e-2)
+
+
+@pytest.mark.slow
 def test_dot_contraction_matches_axpy(rng, graph):
     """The MXU matmul contraction (used at large B*Fin*Fout*K, where the
     scalar-AXPY unroll would explode Mosaic compile time) is numerically

@@ -478,61 +478,63 @@ class TestRingStencil:
         y_el = np.asarray(conv_el.apply(v_el, x))
         np.testing.assert_allclose(y_st, y_el, atol=1e-4)
 
-    def test_fused_gate_declines_deep_radius3_on_chip(self, monkeypatch):
-        """Verified-envelope gate: compiled (real-TPU) execution declines
-        radius>=3 multi-lap fused kernels (known worker fault, see
-        PERFORMANCE.md round-3 notes) and falls back to the XLA stencil
-        path; interpret mode and radius<=2 are unaffected;
-        DS_ALLOW_FUSED_R3=1 overrides."""
+    def test_deep_stencil_pads_unaligned_halos_to_sublane_tile(
+        self, monkeypatch
+    ):
+        """Round-4 un-gating: unaligned halo depths beyond one sublane tile
+        (h > 8, h % 8 != 0) hard-fault the real chip (radius-1 K=10 h=9 and
+        radius-3 K=5 h=12 both did — PERFORMANCE.md round-3 finding), so
+        :meth:`deep_stencil` now rounds such depths UP to the tile: the
+        extra rows are valid-but-unused halo margin, the recursion stays
+        exact, and the compiled DMA geometry lands in the Mosaic-verified
+        8-aligned class.  The fused gate accepts the padded stencils and
+        declines only hand-built unaligned ones."""
         import deepsphere_tpu.config as cfg
         from deepsphere_tpu.ops import pallas_stencil as ps
 
         g3 = build_sphere_graph(32, k=40, method="grid")
-        st3 = g3.deep_stencil(0.75, 5)  # radius 3, h = 12 (multi-lap)
-        assert st3 is not None and st3.radius == 3
+        st3 = g3.deep_stencil(0.75, 5)  # radius 3: needs 12 -> padded 16
+        assert st3 is not None and st3.radius == 3 and st3.n_steps == 16
         g2 = build_sphere_graph(32, k=20, method="grid")
-        st2 = g2.deep_stencil(0.75, 5)  # radius 2, h = 8
-        assert st2 is not None and st2.radius == 2
+        st2 = g2.deep_stencil(0.75, 5)  # radius 2, h = 8 (no padding)
+        assert st2 is not None and st2.radius == 2 and st2.n_steps == 8
+        g1 = build_sphere_graph(32, k=8, method="grid")
+        st10 = g1.deep_stencil(0.75, 10)  # radius 1: needs 9 -> padded 16
+        assert st10 is not None and st10.n_steps == 16
+        st9 = g1.deep_stencil(0.75, 9)  # radius 1, h = 8 (no padding)
+        assert st9 is not None and st9.n_steps == 8
 
         monkeypatch.setattr(cfg, "pallas_mode", lambda: "compile")
-        assert not ps.fused_available(st3, "cheby", 5)
+        assert ps.fused_available(st3, "cheby", 5)
         assert ps.fused_available(st2, "cheby", 5)
-        # st3 has h=12 (> 8, unaligned), so restoring it needs BOTH
-        # gate overrides (radius AND halo-alignment)
-        monkeypatch.setenv("DS_ALLOW_FUSED_R3", "1")
-        assert not ps.fused_available(st3, "cheby", 5)
-        monkeypatch.setenv("DS_ALLOW_FUSED_HODD", "1")
-        assert ps.fused_available(st3, "cheby", 5)
-        monkeypatch.delenv("DS_ALLOW_FUSED_R3")
-        monkeypatch.delenv("DS_ALLOW_FUSED_HODD")
+        assert ps.fused_available(st10, "cheby", 10)
+        assert ps.fused_available(st9, "cheby", 9)
 
-        # second axis: unaligned halo depths beyond one sublane tile
-        # (h > 8, h % 8 != 0) also fault the chip — radius-1 K=10 (h=9,
-        # the quick_start architecture) crashed the bench model stage
-        g1 = build_sphere_graph(32, k=8, method="grid")
-        st_h9 = g1.deep_stencil(0.75, 10)  # radius 1, h = 9
+        # a hand-built unaligned deep stencil still declines compiled
+        # execution (falls back to the per-step XLA path) but keeps the
+        # fused path in interpret mode
+        st_h9 = g1.face_stencil(0.75, n_steps=9)
         assert st_h9 is not None and st_h9.n_steps == 9
-        st_h8 = g1.deep_stencil(0.75, 9)  # radius 1, h = 8 (verified good)
-        assert st_h8 is not None and st_h8.n_steps == 8
         assert not ps.fused_available(st_h9, "cheby", 10)
-        assert ps.fused_available(st_h8, "cheby", 9)
-        monkeypatch.setenv("DS_ALLOW_FUSED_HODD", "1")
-        assert ps.fused_available(st_h9, "cheby", 10)
-        monkeypatch.delenv("DS_ALLOW_FUSED_HODD")
-
-        # interpret mode (CPU tests) keeps the fused path for radius 3
-        # and for unaligned-h configs
         monkeypatch.setattr(cfg, "pallas_mode", lambda: "interpret")
-        assert ps.fused_available(st3, "cheby", 5)
         assert ps.fused_available(st_h9, "cheby", 10)
+        assert ps.fused_available(st3, "cheby", 5)
+
+        # a padded stencil must also serve SHALLOWER convs of the same
+        # radius (the halo is a superset): K=5 on the K=10-padded stencil
+        assert ps.cfp_structural_available(st10, "cheby", 5)
+        # ... but never a conv needing MORE halo than it has
+        assert not ps.cfp_structural_available(st9, "cheby", 10)
 
     @pytest.mark.slow
     def test_ring_fused_pallas_radius3_multiband(self, rng, monkeypatch):
         """The fused Pallas kernel (interpret mode) on a RADIUS-3 stencil
-        (k=40, K=5 -> h=12) with the band height squeezed to Tr=16 so the
-        multi-band window-DMA path runs (nbands=2).  Radius 3/4 had no
+        (k=40, K=5 -> h=12 padded to 16) with the band height squeezed so
+        the multi-band window-DMA path runs (nbands=2).  Radius 3/4 had no
         interpret coverage before round 3; the round-2 on-chip k=40 fault
-        at nside=128 made that gap visible (VERDICT.md round 2, #2)."""
+        at nside=128 made that gap visible (VERDICT.md round 2, #2).  As of
+        round 4 this also exercises the PADDED halo (n_steps=16 > needed
+        12): extra margin rows must stay valid-but-unused."""
         import jax
 
         import deepsphere_tpu.config as cfg
@@ -545,7 +547,7 @@ class TestRingStencil:
             nside, k, K = 32, 40, 5
             g = build_sphere_graph(nside, k=k, method="grid")
             st = g.deep_stencil(0.75, K)
-            assert st is not None and st.radius == 3 and st.n_steps == 12
+            assert st is not None and st.radius == 3 and st.n_steps == 16
             n, h, R, P, Tr, Sd = ps._band_geometry(st, C=2, cout=2)
             assert n // Tr >= 2, (Tr, "multi-band path not engaged")
 
