@@ -785,6 +785,17 @@ class HealpyGCNN:
         self.variables = restored
         return self.variables
 
+    def load_weights_from_reference(self, path):
+        """Import a checkpoint written by the TF2 reference's
+        ``HealpyGCNN.save_weights('*.weights.h5')`` — the reference's
+        deployment unit (``tests/test_healpy_networks.py:133-152``) — into
+        this (built) model.  See
+        :func:`deepsphere_tpu.train.import_keras_h5`."""
+        from ..train.import_ref import import_keras_h5
+
+        self.variables = import_keras_h5(path, self)
+        return self.variables
+
     # ------------------------------------------------------------------
     # serving export (self-contained StableHLO artifact)
     # ------------------------------------------------------------------

@@ -86,7 +86,9 @@ class MultiHeadAttention(nn.Module):
         depth = self.d_model // self.num_heads
 
         if self.use_norm:
-            x = nn.LayerNorm(name="layer_norm1")(x)
+            # epsilon: tf.keras.layers.LayerNormalization default (1e-3) —
+            # required for <1e-5 parity with reference checkpoints
+            x = nn.LayerNorm(epsilon=1e-3, name="layer_norm1")(x)
 
         def split_heads(t):
             return jnp.transpose(t.reshape(B, S, self.num_heads, depth), (0, 2, 1, 3))
@@ -112,7 +114,10 @@ class MultiHeadAttention(nn.Module):
 
         # residual adds the *normed* input (gnn_transformers.py:234)
         concat = x + attn
-        out = nn.LayerNorm(name="layer_norm2")(concat) if self.use_norm else concat
+        out = (
+            nn.LayerNorm(epsilon=1e-3, name="layer_norm2")(concat)
+            if self.use_norm else concat
+        )
         out = nn.Dense(self.d_model, name="dense", precision=prec)(out)
         act = resolve_activation(self.activation) or (lambda t: t)
         out = act(out)

@@ -1,4 +1,5 @@
 from .checkpoint import restore_checkpoint, save_checkpoint
+from .import_ref import import_keras_h5
 from .callbacks import Callback, EarlyStopping, LambdaCallback, ModelCheckpoint
 from .losses import resolve_loss, resolve_metric
 from .trainer import Trainer, TrainState
@@ -14,4 +15,5 @@ __all__ = [
     "resolve_metric",
     "save_checkpoint",
     "restore_checkpoint",
+    "import_keras_h5",
 ]

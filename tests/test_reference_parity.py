@@ -60,11 +60,29 @@ def _install_reference(monkeypatch=None):
     hp_stub.UNSEEN = -1.6375e30
     sys.modules["healpy"] = hp_stub
 
+    class SphereHealpix:
+        """pygsp.graphs.SphereHealpix backed by OUR kNN graph builder —
+        enough surface (.L, .A) for the reference HealpyGCNN assembler
+        (``healpy_networks.py:110-120``) to build real models, which lets
+        tests exercise the reference's save_weights deployment artifact
+        end to end."""
+
+        def __init__(self, subdivisions, indexes=None, nest=True, k=8,
+                     lap_type="normalized"):
+            g = build_sphere_graph(
+                int(subdivisions),
+                None if indexes is None else np.asarray(indexes),
+                k=k, lap_type=lap_type, method="knn",
+            )
+            g._materialize()
+            self.L = g.L
+            self.A = g.A
+
     pygsp = types.ModuleType("pygsp")
     pygsp_filters = types.ModuleType("pygsp.filters")
     pygsp_graphs = types.ModuleType("pygsp.graphs")
     pygsp_filters.Chebyshev = type("Chebyshev", (), {})
-    pygsp_graphs.SphereHealpix = type("SphereHealpix", (), {})
+    pygsp_graphs.SphereHealpix = SphereHealpix
     pygsp.filters = pygsp_filters
     pygsp.graphs = pygsp_graphs
     sys.modules["pygsp"] = pygsp
@@ -459,4 +477,115 @@ def test_conv_parity_on_stencil_path(ref, graphs, rng, method, kind, K):
     if kind == "mono":
         params["bias"] = np.asarray(tf_layer.bias.numpy())
     y, _ = _apply_ours(ours, params, x)
+    assert np.abs(y - y_ref).max() < 1e-5, np.abs(y - y_ref).max()
+
+
+# ---------------------------------------------------------------------------
+# reference-checkpoint import (the reference's deployment unit:
+# save_weights/load_weights in tests/test_healpy_networks.py:133-152)
+# ---------------------------------------------------------------------------
+
+
+def test_import_reference_checkpoint_end_to_end(ref, rng, tmp_path):
+    """A reference HealpyGCNN (built through the real assembler, Laplacians
+    from our kNN backend via the SphereHealpix stub) is trained 2 epochs in
+    TF, exported with save_weights, imported with
+    ``load_weights_from_reference`` into OUR model of the same
+    architecture — end-to-end predictions must agree <1e-5 (BASELINE.md
+    north star).  Covers conv kernels+bias+BN moving stats, residual
+    blocks, pseudo-conv, and the dense head."""
+    import deepsphere_tpu as ds
+    from deepsphere_tpu.nn import healpy_layers as hp_nn
+
+    ref_hp = ref.healpy_layers
+    nside = 16
+    npix = 12 * nside * nside
+    B = 4
+    x = rng.normal(size=(B, npix, 1)).astype(np.float32)
+
+    tf.random.set_seed(7)
+    tf_model = ref.healpy_networks.HealpyGCNN(
+        nside=nside, indices=np.arange(npix), layers=[
+            ref_hp.HealpyChebyshev(K=5, Fout=4, use_bias=True, use_bn=True,
+                                   activation="relu"),
+            ref_hp.HealpyPool(p=1, pool_type="MAX"),
+            ref_hp.Healpy_ResidualLayer(
+                "CHEBY", {"K": 3}, activation="relu", use_bn=True,
+                norm_type="batch_norm"),
+            ref_hp.HealpyMonomial(K=3, Fout=3, use_bias=True,
+                                  activation="elu"),
+            ref_hp.HealpyPseudoConv(p=1, Fout=6),
+            tf.keras.layers.Flatten(),
+            tf.keras.layers.Dense(2),
+        ])
+    tf_model.build(input_shape=(B, npix, 1))
+    # 2 training epochs: weights AND BN moving statistics move off init
+    xt = rng.normal(size=(16, npix, 1)).astype(np.float32)
+    yt = (np.arange(16) % 2).astype(np.int64)
+    tf_model.compile(
+        optimizer=tf.keras.optimizers.Adam(1e-3),
+        loss=tf.keras.losses.SparseCategoricalCrossentropy(from_logits=True))
+    tf_model.fit(xt, yt, batch_size=8, epochs=2, verbose=0)
+    y_ref = tf_model(tf.constant(x), training=False).numpy()
+
+    path = str(tmp_path / "ref.weights.h5")
+    tf_model.save_weights(path)
+
+    model = ds.HealpyGCNN(
+        nside=nside, indices=np.arange(npix), graph_method="knn", layers=[
+            hp_nn.HealpyChebyshev(K=5, Fout=4, use_bias=True, use_bn=True,
+                                  activation="relu"),
+            hp_nn.HealpyPool(p=1, pool_type="MAX"),
+            hp_nn.Healpy_ResidualLayer(
+                "CHEBY", {"K": 3}, activation="relu", use_bn=True,
+                norm_type="batch_norm"),
+            hp_nn.HealpyMonomial(K=3, Fout=3, use_bias=True,
+                                 activation="elu"),
+            hp_nn.HealpyPseudoConv(p=1, Fout=6),
+            hp_nn.Flatten(),
+            hp_nn.Dense(2),
+        ])
+    model.build((B, npix, 1))
+    model.load_weights_from_reference(path)
+    y = np.asarray(model(jnp.asarray(x), training=False))
+    assert np.abs(y - y_ref).max() < 1e-5, np.abs(y - y_ref).max()
+
+
+def test_import_reference_checkpoint_transformers(ref, rng, tmp_path):
+    """Checkpoint import for the attention families: Healpy_ViT (Conv1D
+    patch embedding, positional embedding, dense-MHA blocks incl. the
+    wq/wk/wv vs output-dense disambiguation) and Healpy_Transformer
+    (edge-sparse MHA)."""
+    import deepsphere_tpu as ds
+    from deepsphere_tpu.nn import healpy_layers as hp_nn
+
+    ref_hp = ref.healpy_layers
+    nside = 8
+    npix = 12 * nside * nside
+    B = 2
+    x = rng.normal(size=(B, npix, 1)).astype(np.float32)
+
+    tf.random.set_seed(9)
+    tf_model = ref.healpy_networks.HealpyGCNN(
+        nside=nside, indices=np.arange(npix), layers=[
+            ref_hp.Healpy_Transformer(key_dim=3, num_heads=2, n_layers=1),
+            ref_hp.Healpy_ViT(p=2, key_dim=4, num_heads=2, n_layers=2),
+            tf.keras.layers.Flatten(),
+            tf.keras.layers.Dense(2),
+        ])
+    tf_model.build(input_shape=(B, npix, 1))
+    y_ref = tf_model(tf.constant(x), training=False).numpy()
+    path = str(tmp_path / "ref_attn.weights.h5")
+    tf_model.save_weights(path)
+
+    model = ds.HealpyGCNN(
+        nside=nside, indices=np.arange(npix), graph_method="knn", layers=[
+            hp_nn.Healpy_Transformer(key_dim=3, num_heads=2, n_layers=1),
+            hp_nn.Healpy_ViT(p=2, key_dim=4, num_heads=2, n_layers=2),
+            hp_nn.Flatten(),
+            hp_nn.Dense(2),
+        ])
+    model.build((B, npix, 1))
+    model.load_weights_from_reference(path)
+    y = np.asarray(model(jnp.asarray(x), training=False))
     assert np.abs(y - y_ref).max() < 1e-5, np.abs(y - y_ref).max()

@@ -48,6 +48,9 @@ def main():
     cfg.set_strips_mode(strips)
     if contract != "auto":
         cfg.set_contract_mode(contract)
+    if os.environ.get("PROBE_PALLAS"):
+        # "off" = XLA per-step stencil path at the same shape (A/B timing)
+        cfg.set_use_pallas(os.environ["PROBE_PALLAS"])
     if os.environ.get("DS_KB"):
         # kernel-piece bisection (norecur / nocontract / nolanestore):
         # correctness vs the reference is then expected to FAIL — the
@@ -56,7 +59,8 @@ def main():
 
     cache = __file__.rsplit("/", 2)[0] + "/.bench_cache"
     out = {"nside": nside, "k": k, "strips": strips, "contract": contract,
-           "platform": jax.devices()[0].platform}
+           "platform": jax.devices()[0].platform,
+           "pallas": cfg.use_pallas, "K": K}
     t0 = time.time()
     g = build_sphere_graph(nside, k=k, method="grid", cache_dir=cache)
     st = g.deep_stencil(0.75, K)
