@@ -318,12 +318,24 @@ def face_stencil(graph, scale, n_steps=None):
         and getattr(graph, "_ell_L", None) is not None
         and native.available()
     )
+    captured_abs = None
     if use_native:
         # weight planes extracted in one native pass, already embedded
         w_emb = native.stencil_weights(nside, n_steps, ell_idx, ell_val)
         weights = np.ascontiguousarray(
             w_emb[:, :, 1 : 1 + Pw, 1 : 1 + Pw]
         ).reshape(9, -1)
+    elif native.available():
+        # generic radius-r native extraction (the _lookup_entries loop in
+        # one C++ pass; _ell_raster_ordered graphs — e.g. the smoothing
+        # template builder — additionally skip the per-entry search on
+        # full-interior rows).  captured mass comes back with the planes.
+        w_emb, cap = native.ellpack_stencil_planes(
+            nside, n_steps, radius, ell_idx, ell_val,
+            raster_ordered=bool(getattr(graph, "_ell_raster_ordered", False)),
+        )
+        captured_abs = cap.reshape(-1)
+        weights = None  # mass check uses the native captured_abs directly
     else:
         # weight planes: w[d, f, u, v] = L[pix(f,u,v), pix((f,u,v)+d)]
         weights = np.zeros((nplanes, 12 * Pw * Pw), dtype=np.float32)
@@ -342,7 +354,8 @@ def face_stencil(graph, scale, n_steps=None):
         )
 
     # mass-conservation check against the ELLPACK row sums
-    captured_abs = np.abs(weights.astype(np.float64)).sum(axis=0)
+    if captured_abs is None:
+        captured_abs = np.abs(weights.astype(np.float64)).sum(axis=0)
     row_abs = np.abs(ell_val.astype(np.float64)).sum(axis=1)
     real = rows_flat >= 0
     expect = row_abs[rows_flat[real]]

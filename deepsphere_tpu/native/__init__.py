@@ -18,7 +18,8 @@ import numpy as np
 
 from .._logger import logger
 
-__all__ = ["available", "grid_laplacian", "neighbors_nest", "pix2vec_nest",
+__all__ = ["available", "ellpack_stencil_planes", "gauss_template",
+           "grid_laplacian", "neighbors_nest", "pix2vec_nest",
            "stencil_weights"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -63,6 +64,16 @@ def _load():
             i64, i64,
             ptr(np.int32, flags="C"), ptr(np.float32, flags="C"),
             ptr(np.float32, flags="C"),
+        ]
+        lib.ds_gauss_template.argtypes = [
+            i64, i64, dbl, dbl,
+            ptr(np.uint8, flags="C"),
+            ptr(np.int32, flags="C"), ptr(np.float64, flags="C"),
+        ]
+        lib.ds_ellpack_stencil_planes.argtypes = [
+            i64, i64, i64, i64, ctypes.c_int,
+            ptr(np.int32, flags="C"), ptr(np.float64, flags="C"),
+            ptr(np.float32, flags="C"), ptr(np.float64, flags="C"),
         ]
         _lib = lib
     except Exception as e:  # pragma: no cover - toolchain-dependent
@@ -120,6 +131,58 @@ def grid_laplacian(nside, kernel_width=None, lanczos_iters=512):
         "nb": nb, "w": w, "ell_idx": ell_idx, "ell_val": ell_val,
         "kernel_width": float(params[0]), "lmax": float(params[1]),
     }
+
+
+def gauss_template(nside, radius, sig, n_sigma_support, indices=None):
+    """Row-normalized Gaussian smoothing-template ELLPACK (the
+    ``nn.smoothing._template_ellpack`` numpy oracle, one native pass —
+    replaces minutes of per-tap numpy at nside >= 512).
+
+    :return: ``(ell_idx (npix, T+1) i32, ell_val (npix, T+1) f64)`` with
+        T = (2 radius + 1)^2 - 1 raster taps, center last.
+    """
+    lib = _load()
+    npix = 12 * nside * nside
+    mask = np.zeros(npix, np.uint8)
+    if indices is None:
+        mask[:] = 1
+    else:
+        mask[np.asarray(indices, dtype=np.int64)] = 1
+    T = (2 * radius + 1) ** 2 - 1
+    ell_idx = np.empty((npix, T + 1), np.int32)
+    ell_val = np.empty((npix, T + 1), np.float64)
+    lib.ds_gauss_template(
+        nside, int(radius), float(sig), float(n_sigma_support),
+        mask, ell_idx, ell_val,
+    )
+    return ell_idx, ell_val
+
+
+def ellpack_stencil_planes(nside, n_steps, radius, ell_idx, ell_val,
+                           raster_ordered=False):
+    """Generic radius-r stencil weight planes from a full-sphere ELLPACK
+    (the ``graph.stencil._lookup_entries`` loop in one native pass).
+
+    :return: ``(w_emb (nplanes, 12, P_r, P_l) f32, captured (12, Pw, Pw)
+        f64)`` — the wide-embedded plane layout of ``face_stencil`` plus
+        the per-position absolute captured mass for the conservation check.
+    """
+    lib = _load()
+    h = n_steps - radius
+    Pw = nside + 2 * h
+    P_r = nside + -(-2 * n_steps // 8) * 8
+    P_l = -(-(nside + 2 * n_steps) // 128) * 128
+    nplanes = (2 * radius + 1) ** 2
+    out = np.zeros((nplanes, 12, P_r, P_l), np.float32)
+    captured = np.empty((12, Pw, Pw), np.float64)
+    lib.ds_ellpack_stencil_planes(
+        nside, int(n_steps), int(radius), int(ell_idx.shape[1]),
+        1 if raster_ordered else 0,
+        np.ascontiguousarray(ell_idx, np.int32),
+        np.ascontiguousarray(ell_val, np.float64),
+        out, captured,
+    )
+    return out, captured
 
 
 def stencil_weights(nside, n_steps, ell_idx, ell_val_scaled):

@@ -90,13 +90,18 @@ static const i64 NB_SWAPARRAY[9][3] = {
     {5, 0, 0}, {0, 0, 0}, {6, 0, 0}, {3, 0, 0},
 };
 
-// global NEST pixel at (possibly out-of-face) coordinates; -1 if none.
+// resolve (possibly out-of-face) coordinates to in-face (xf, yf, nbf);
+// returns the global NEST pixel, or -1 if none (missing polar corner).
 // valid for overhangs < nside (single face crossing).
-static i64 face_coords_to_pix(i64 nside, int order, i64 x, i64 y, i64 face) {
+static inline i64 coords_resolve(i64 nside, int order, i64 x, i64 y,
+                                 i64 face, i64* xf_o, i64* yf_o, i64* f_o) {
     i64 nsm1 = nside - 1;
     int xs = x < 0 ? -1 : (x > nsm1 ? 1 : 0);
     int ys = y < 0 ? -1 : (y > nsm1 ? 1 : 0);
-    if (xs == 0 && ys == 0) return xyf2nest(nside, x, y, face, order);
+    if (xs == 0 && ys == 0) {
+        *xf_o = x; *yf_o = y; *f_o = face;
+        return xyf2nest(nside, x, y, face, order);
+    }
     i64 nbnum = 4 + xs + 3 * ys;
     i64 nbf = NB_FACEARRAY[nbnum][face];
     if (nbf < 0) return -1;
@@ -107,7 +112,14 @@ static i64 face_coords_to_pix(i64 nside, int order, i64 x, i64 y, i64 face) {
     i64 yw2 = (bits & 2) ? nsm1 - yw : yw;
     i64 xf = (bits & 4) ? yw2 : xw2;
     i64 yf = (bits & 4) ? xw2 : yw2;
+    *xf_o = xf; *yf_o = yf; *f_o = nbf;
     return xyf2nest(nside, xf, yf, nbf, order);
+}
+
+// global NEST pixel at (possibly out-of-face) coordinates; -1 if none.
+static i64 face_coords_to_pix(i64 nside, int order, i64 x, i64 y, i64 face) {
+    i64 xf, yf, f;
+    return coords_resolve(nside, order, x, y, face, &xf, &yf, &f);
 }
 
 // ---------------------------------------------------------------------------
@@ -429,6 +441,209 @@ void ds_stencil_weights(i64 nside, i64 n_steps,
                     cell[d * plane] = lookup(p, q);
                 }
                 cell[8 * plane] = lookup(p, p);
+            }
+        }
+    }
+}
+
+// Gaussian smoothing-template ELLPACK (nn/smoothing.py::_template_ellpack
+// numpy oracle, ported for the nside>=512 cold-start path — the reference's
+// equivalent is the BallTree kernel build at healpy_layers.py:766-799).
+//
+// Row-normalized fixed-width operator of ONE narrow-template repetition of
+// the stencil decomposition: taps are the (2r+1)^2-1 raster offsets (center
+// last), weights exp(-ang^2 / 2 sig^2) truncated at n_sigma_support * sig,
+// masked rows/edges zeroed (idx self-pointing where invalid).
+//
+// Outputs (caller-allocated):
+//   ell_idx (npix, T+1) i32, ell_val (npix, T+1) f64, T = (2r+1)^2 - 1
+void ds_gauss_template(i64 nside, i64 radius, double sig,
+                       double n_sigma_support, const uint8_t* in_mask,
+                       i32* ell_idx, double* ell_val) {
+    int order = ilog2(nside);
+    i64 r = radius;
+    i64 side = 2 * r + 1;
+    i64 T = side * side - 1;
+    i64 Wd = T + 1;
+
+    double amax = n_sigma_support * sig;
+    double inv2s2 = 0.5 / (sig * sig);
+    // chord^2 pre-filter with safety margin: taps clearly past the support
+    // skip asin/exp; borderline taps still take the exact ang <= amax test
+    double c2pre = 5.0;  // amax >= pi: every tap is inside the support
+    if (amax < 3.14159265358979323846) {
+        double cmax = 2.0 * std::sin(0.5 * amax);
+        c2pre = cmax * cmax * (1.0 + 1e-9) + 1e-300;
+    }
+
+    // Morton-quad blocking: within a face, NEST ids ARE Morton(x, y), so a
+    // Morton-aligned B x B quad occupies a contiguous B^2 id range.  Walking
+    // quads in Morton order and pixels within a quad in Morton order makes
+    // the (npix, T+1) output writes strictly sequential (no NEST-scatter TLB
+    // storm — the dominant cost of the naive loop), while each pixel's unit
+    // vector is computed once into an L1-resident (B+2r)^2 patch.
+    i64 B = 32;
+    while (B > nside) B >>= 1;
+    i64 PW = B + 2 * r;  // patch width
+    i64 nquads = (nside / B) * (nside / B);
+    std::vector<double> bx(PW * PW), by(PW * PW), bz(PW * PW);
+    std::vector<i64> bq(PW * PW);
+    std::vector<uint8_t> bm(PW * PW);
+
+    for (i64 f = 0; f < 12; ++f) {
+        for (i64 qm = 0; qm < nquads; ++qm) {
+            i64 X = compress_bits(qm) * B;
+            i64 Y = compress_bits(qm >> 1) * B;
+            for (i64 lx = -r; lx < B + r; ++lx) {
+                i64 row = (lx + r) * PW;
+                for (i64 ly = -r; ly < B + r; ++ly) {
+                    i64 j = row + ly + r;
+                    i64 xf, yf, ff;
+                    i64 q = coords_resolve(nside, order, X + lx, Y + ly, f,
+                                           &xf, &yf, &ff);
+                    bq[j] = q;
+                    if (q >= 0) {
+                        xyf2vec(nside, xf, yf, ff, &bx[j], &by[j], &bz[j]);
+                        bm[j] = in_mask[q];
+                    } else {
+                        bm[j] = 0;
+                    }
+                }
+            }
+            for (i64 m = 0; m < B * B; ++m) {  // Morton: p is sequential
+                i64 lx = compress_bits(m);
+                i64 ly = compress_bits(m >> 1);
+                i64 jc = (lx + r) * PW + ly + r;
+                i64 p = bq[jc];
+                const double px = bx[jc], py = by[jc], pz = bz[jc];
+                bool prow = bm[jc] != 0;
+                i32* ir = ell_idx + Wd * p;
+                double* vr = ell_val + Wd * p;
+                double rowsum = 0.0;
+                i64 t = 0;
+                for (i64 dx = -r; dx <= r; ++dx) {
+                    i64 base = (lx + dx + r) * PW + ly + r;
+                    for (i64 dy = -r; dy <= r; ++dy) {
+                        if (dx == 0 && dy == 0) continue;
+                        i64 j = base + dy;
+                        i64 q = bq[j];
+                        double w = 0.0;
+                        i64 col = p;
+                        if (q >= 0 && prow && bm[j]) {
+                            col = q;
+                            double ddx = px - bx[j];
+                            double ddy = py - by[j];
+                            double ddz = pz - bz[j];
+                            double c2 = ddx * ddx + ddy * ddy + ddz * ddz;
+                            if (c2 <= c2pre) {
+                                if (c2 < 0.0) c2 = 0.0;
+                                if (c2 > 4.0) c2 = 4.0;
+                                double ang =
+                                    2.0 * std::asin(std::sqrt(c2) * 0.5);
+                                if (ang <= amax)
+                                    w = std::exp(-ang * ang * inv2s2);
+                            }
+                        }
+                        ir[t] = (i32)col;
+                        vr[t] = w;
+                        rowsum += w;
+                        ++t;
+                    }
+                }
+                double center = prow ? 1.0 : 0.0;
+                rowsum += center;
+                if (rowsum == 0.0) rowsum = 1.0;
+                double inv = 1.0 / rowsum;
+                for (i64 tt = 0; tt < T; ++tt) vr[tt] *= inv;
+                ir[T] = (i32)p;
+                vr[T] = center * inv;
+            }
+        }
+    }
+}
+
+// Generic radius-r stencil weight-plane extraction from a full-sphere
+// ELLPACK (the graph/stencil.py::_lookup_entries loop, ported).  Planes
+// follow stencil_offsets(radius): raster order minus center, center LAST.
+//
+// out has the wide-embedded layout of graph/stencil.py::face_stencil's
+// w_emb: (nplanes, 12, P_r, P_l) with P_r = nside + roundup(2 n_steps, 8),
+// P_l = roundup(nside + 2 n_steps, 128); entry [d, f, x + n_steps,
+// y + n_steps] weighs face coord (x, y) for x, y in [-(n_steps - radius),
+// nside + n_steps - radius).  captured (12 * Pw * Pw f64, Pw = nside +
+// 2 (n_steps - radius)) returns sum_d |w| per position for the caller's
+// mass-conservation check.
+//
+// raster_ordered = 1 asserts the ELLPACK columns of every full-interior
+// row are exactly the raster taps in plane order (true for the smoothing
+// template builder above); those rows then copy without search.
+void ds_ellpack_stencil_planes(i64 nside, i64 n_steps, i64 radius, i64 W,
+                               int raster_ordered,
+                               const i32* ell_idx, const double* ell_val,
+                               float* out, double* captured) {
+    int order = ilog2(nside);
+    i64 h = n_steps - radius;
+    i64 Pw = nside + 2 * h;
+    i64 P_r = nside + ((2 * n_steps + 7) / 8) * 8;
+    i64 P_l = ((nside + 2 * n_steps + 127) / 128) * 128;
+    i64 nplanes = (2 * radius + 1) * (2 * radius + 1);
+    i64 plane = 12 * P_r * P_l;
+
+    // plane order must match graph/stencil.py::stencil_offsets: radius 1
+    // keeps the legacy healpix_base neighbor order, radius > 1 is raster
+    std::vector<i64> odx(nplanes), ody(nplanes);
+    if (radius == 1) {
+        for (i64 t = 0; t < 8; ++t) { odx[t] = NB_XOFFSET[t]; ody[t] = NB_YOFFSET[t]; }
+        odx[8] = 0; ody[8] = 0;
+    } else {
+        i64 t = 0;
+        for (i64 dx = -radius; dx <= radius; ++dx)
+            for (i64 dy = -radius; dy <= radius; ++dy)
+                if (dx != 0 || dy != 0) { odx[t] = dx; ody[t] = dy; ++t; }
+        odx[t] = 0; ody[t] = 0;  // center last
+    }
+
+    auto lookup = [&](i64 row, i64 colq) -> double {
+        const i32* ir = ell_idx + W * row;
+        const double* vr = ell_val + W * row;
+        double acc = 0.0;
+        for (i64 t = 0; t < W; ++t)
+            if (ir[t] == (i32)colq) acc += vr[t];
+        return acc;
+    };
+
+    // the raster fast path requires plane order == ELLPACK tap order,
+    // which only holds for the raster plane enumeration (radius > 1)
+    bool fast_ok = raster_ordered && W == nplanes && radius > 1;
+    for (i64 f = 0; f < 12; ++f) {
+        for (i64 x = -h; x < nside + h; ++x) {
+            for (i64 y = -h; y < nside + h; ++y) {
+                i64 pos = (f * Pw + (x + h)) * Pw + (y + h);
+                i64 p = face_coords_to_pix(nside, order, x, y, f);
+                if (p < 0) { captured[pos] = 0.0; continue; }
+                float* cell =
+                    out + (f * P_r + (x + n_steps)) * P_l + (y + n_steps);
+                double cap = 0.0;
+                if (fast_ok && x >= radius && x < nside - radius &&
+                    y >= radius && y < nside - radius) {
+                    // full-interior row: columns ARE the raster taps
+                    const double* vr = ell_val + W * p;
+                    for (i64 d = 0; d < nplanes; ++d) {
+                        double v = vr[d];
+                        cell[d * plane] = (float)v;
+                        cap += std::abs(v);
+                    }
+                } else {
+                    for (i64 d = 0; d < nplanes; ++d) {
+                        i64 q = face_coords_to_pix(nside, order, x + odx[d],
+                                                   y + ody[d], f);
+                        if (q < 0) continue;
+                        double v = lookup(p, q);
+                        cell[d * plane] = (float)v;
+                        cap += std::abs(v);
+                    }
+                }
+                captured[pos] = cap;
             }
         }
     }

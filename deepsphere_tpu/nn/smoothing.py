@@ -36,9 +36,21 @@ def _arcmin_to_rad(theta):
 
 def _template_ellpack(nside, sig, r, n_sigma_support, indices=None):
     """Row-normalized ELLPACK of ONE narrow-template repetition of the
-    stencil decomposition (numpy only).  ``indices``: observed-pixel set
-    (None = full sphere); edges to out-of-mask pixels are dropped and
-    out-of-mask rows zeroed, mirroring the reference's masked smoothing."""
+    stencil decomposition.  ``indices``: observed-pixel set (None = full
+    sphere); edges to out-of-mask pixels are dropped and out-of-mask rows
+    zeroed, mirroring the reference's masked smoothing.
+
+    Delegates to the native core when available (one C++ pass; the numpy
+    body below is the portable fallback and the test oracle — 80 full-map
+    passes, ~25 min at nside=1024)."""
+    from .. import native
+
+    if native.available():
+        return native.gauss_template(nside, r, sig, n_sigma_support, indices)
+    return _template_ellpack_numpy(nside, sig, r, n_sigma_support, indices)
+
+
+def _template_ellpack_numpy(nside, sig, r, n_sigma_support, indices=None):
     from ..sphere.faces import face2nest_index, halo_map
 
     npix = hp.nside2npix(nside)
@@ -111,7 +123,15 @@ def estimate_stencil_error(sigma_rad, nside, n_sigma_support=3,
     1.4-1.8% at 2 px, 2.6-3.2% at 4 px across nside 16/32), because both
     the per-rep truncation and the m-fold composition are functions of
     the ratio only.  Numpy-only — safe to call at model-construction time
-    (no accelerator compile)."""
+    (no accelerator compile).
+
+    FULL-SKY estimate: the proxy operator is built over the whole sphere.
+    Masked (partial-sky) operators accumulate extra boundary error — m
+    repeated masked-template applications touch the mask edge m times
+    where the exact wide kernel touches it once — so for partial-sky
+    configurations this bound can under-predict near the boundary (the
+    interior, > m*r pixels from the edge, is unaffected).  See
+    ``tests/test_smoothing_fused.py::test_stencil_error_bound_masked``."""
     spacing_t = hp.nside2resol(nside)
     spacing_p = hp.nside2resol(nside_proxy)
     sig_p = sigma_rad * spacing_p / spacing_t
@@ -190,6 +210,9 @@ class SmoothingOperator:
         self.method = method
         self.stencil_rel_tol = stencil_rel_tol
         self.stencil = None
+        # populated only on the method='auto' + stencil_rel_tol path;
+        # None everywhere else (ADVICE r3: callers may read it freely)
+        self.stencil_rel_err_est = None
         self.stencil_reps = 1
         self.stencil_apps = 1
         assert fwhm is not None or sigma is not None, "One of fwhm and sigma has to be specified"
@@ -345,6 +368,10 @@ class SmoothingOperator:
                 self.indices = np.arange(12 * nside * nside)
                 self.n_pixels = 12 * nside * nside
                 self._ell = ell
+                # template columns follow the raster tap order (center
+                # last): the native plane extractor may copy full-interior
+                # rows without the per-entry search
+                self._ell_raster_ordered = True
 
             def ellpack(self, scale):
                 return self._ell

@@ -121,6 +121,12 @@ def fused_available(st: FaceStencil, kind, n_terms):
         return False
     if mode == "compile" and st.n_steps > 8 and st.n_steps % 8:
         return False
+    # NOTE: the 8 here is the f32 sublane count, and only f32 I/O configs
+    # were bisected on hardware.  Under bfloat16_io the window margin
+    # rounds to roundup(h, 16) internally, so a deep h that is 8- but not
+    # 16-aligned (e.g. 24) passes this gate while sitting outside the
+    # verified envelope; bf16 I/O is opt-in and slower on this workload
+    # (PERFORMANCE.md), so the gate stays f32-calibrated (ADVICE r3).
     return True
 
 

@@ -108,3 +108,82 @@ def test_lazy_csr_materialization():
     rows = np.repeat(np.arange(M), idx.shape[1])
     L2 = sp.csr_matrix((val.ravel(), (rows, idx.ravel())), shape=(M, M))
     assert abs(L2 - Lr).max() < 1e-6
+
+
+@pytest.mark.parametrize("masked", [False, True])
+@pytest.mark.parametrize("nside,r,sig", [(8, 2, 0.05), (16, 4, 0.02)])
+def test_gauss_template_matches_numpy(nside, r, sig, masked):
+    """ds_gauss_template (Morton-quad C++ pass) vs the numpy oracle
+    nn.smoothing._template_ellpack_numpy: identical columns, values to
+    f64 round-off.  Covers the reference's BallTree smoothing-kernel
+    build (healpy_layers.py:766-799 analog)."""
+    from deepsphere_tpu.nn.smoothing import _template_ellpack_numpy
+
+    idx = None
+    if masked:
+        rng = np.random.default_rng(0)
+        idx = np.sort(
+            rng.choice(12 * nside * nside, size=9 * nside * nside,
+                       replace=False)
+        )
+    ei, ev = native.gauss_template(nside, r, sig, 3.0, idx)
+    ei0, ev0 = _template_ellpack_numpy(nside, sig, r, 3.0, idx)
+    np.testing.assert_array_equal(ei, ei0)
+    np.testing.assert_allclose(ev, ev0, atol=1e-13)
+
+
+@pytest.mark.parametrize("nside,r,n_extra", [(16, 4, 0), (16, 4, 3), (8, 2, 3)])
+def test_ellpack_stencil_planes_matches_numpy(nside, r, n_extra):
+    """face_stencil's generic native extraction (ds_ellpack_stencil_planes,
+    raster fast path + boundary search) against the pure-numpy
+    _lookup_entries loop — every FaceStencil field must agree."""
+    from deepsphere_tpu.graph import stencil as st
+    from deepsphere_tpu.nn.smoothing import _template_ellpack_numpy
+
+    class G:
+        method = "grid"
+
+        def __init__(self, raster):
+            self.nside = nside
+            self.stencil_radius = r
+            self.k = 8
+            self.n_pixels = 12 * nside * nside
+            self.indices = np.arange(self.n_pixels)
+            if raster:
+                self._ell_raster_ordered = True
+
+        def ellpack(self, scale):
+            return ei, ev
+
+    ei, ev = _template_ellpack_numpy(nside, 0.02 if nside == 16 else 0.05,
+                                     r, 3.0)
+    out_nat = st.face_stencil(G(True), 1.0, n_steps=r + n_extra)
+    orig = native.available
+    native.available = lambda: False
+    try:
+        out_np = st.face_stencil(G(False), 1.0, n_steps=r + n_extra)
+    finally:
+        native.available = orig
+
+    def cmp(a, b, path=""):
+        if isinstance(a, dict):
+            assert set(a) == set(b), path
+            for k in a:
+                cmp(a[k], b[k], path + "." + str(k))
+        elif isinstance(a, np.ndarray):
+            if a.dtype.kind in "fc":
+                np.testing.assert_allclose(a, b, atol=1e-6, err_msg=path)
+            else:
+                np.testing.assert_array_equal(a, b, err_msg=path)
+        elif isinstance(a, (tuple, list)):
+            assert len(a) == len(b), path
+            for i, (x, y) in enumerate(zip(a, b)):
+                cmp(x, y, path + f"[{i}]")
+        elif hasattr(a, "__dict__") and not isinstance(
+            a, (int, float, str, bool, type(None))
+        ):
+            cmp(vars(a), vars(b), path + ":obj")
+        else:
+            assert a == b, (path, a, b)
+
+    cmp(out_nat, out_np)

@@ -192,6 +192,39 @@ def test_stencil_error_bound_and_estimator(rng):
             assert 0.5 * rel < est < 2.0 * rel, (mult, rel, est)
 
 
+def test_stencil_error_bound_masked(rng):
+    """Masked (partial-sky) stencil decomposition vs the masked BallTree
+    kernel: the full-sky estimator under-predicts near the mask boundary
+    (m template applications touch the edge m times), so the measured
+    masked deviation must stay within a documented slack factor of the
+    full-sky estimate (ADVICE r3: quantify the full-sky assumption)."""
+    from deepsphere_tpu.nn.smoothing import estimate_stencil_error
+    from deepsphere_tpu.sphere import healpix as hp
+
+    nside = 16
+    npix = hp.nside2npix(nside)
+    res_am = np.degrees(hp.nside2resol(nside)) * 60
+    # a contiguous cap of ~5 faces: real boundary, not scattered pixels
+    vec = np.stack(hp.pix2vec(nside, np.arange(npix), nest=True), axis=-1)
+    indices = np.where(vec[:, 2] > -0.2)[0]
+    x = jnp.asarray(rng.normal(size=(1, len(indices), 1)), jnp.float32)
+    sig = res_am * 2.0
+    ys = {}
+    for meth in ("stencil", "ellpack"):
+        op = SmoothingOperator(nside=nside, indices=indices,
+                               sigma=sig, method=meth)
+        lay = HealpySmoothing(operator=op)
+        v = lay.init(jax.random.PRNGKey(0), x)
+        ys[meth] = np.asarray(lay.apply(v, x))[0, :, 0]
+    d = ys["stencil"] - ys["ellpack"]
+    rel = np.linalg.norm(d) / np.linalg.norm(ys["ellpack"])
+    est = estimate_stencil_error(np.radians(sig / 60.0), nside,
+                                 nside_proxy=16)
+    # boundary accumulation: allow 3x the full-sky estimate, and an
+    # absolute ceiling consistent with the full-sky <5% bound
+    assert rel < max(3.0 * est, 0.08), (rel, est)
+
+
 def test_stencil_rel_tol_gate(rng):
     """stencil_rel_tol drives the auto path selection: a tolerance below
     the predicted error keeps the exact ELLPACK kernel; a loose one keeps
