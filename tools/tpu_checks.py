@@ -21,6 +21,8 @@ Env:    TC_STAGES selects stages (default all):
         6 = bf16 HBM-I/O conv + train timing at the headline nside
         7 = deep-halo k in {20,40,60} correctness vs ELLPACK + timing
             (configs via TC_DEEP, default "20:256,40:128,60:64")
+        8 = quick-start shape (radius-1 K=10, halo 9 -> padded 16)
+            fused correctness vs ELLPACK + timing (TC_QS_NSIDE, def 64)
 """
 
 import json
@@ -35,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 NSIDE = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
 SMALL_NSIDE = int(os.environ.get("TC_SMALL_NSIDE", 128))
 K, FIN, FOUT, BATCH = 5, 4, 4, 4
-STAGES = set(os.environ.get("TC_STAGES", "0,1,2,3,4,5,6,7").split(","))
+STAGES = set(os.environ.get("TC_STAGES", "0,1,2,3,4,5,6,7,8").split(","))
 
 
 def bank(name, **kv):
@@ -56,6 +58,11 @@ def main():
     import jax.numpy as jnp
 
     from deepsphere_tpu import config as ds_config
+
+    if os.environ.get("DS_USE_PALLAS"):
+        # CPU smoke runs force interpret mode ("on"); on TPU the default
+        # "auto" already resolves to compiled pallas
+        ds_config.set_use_pallas(os.environ["DS_USE_PALLAS"])
     from deepsphere_tpu.graph import build_sphere_graph
     from deepsphere_tpu.ops import pallas_stencil as ps
     from deepsphere_tpu.ops.stencil import (
@@ -509,6 +516,61 @@ def main():
                 del tk, xj
             except Exception as e:
                 bank(name, error=str(e)[:300])
+
+    if "8" in STAGES:
+        # quick-start shape: radius-1 K=10 (halo 9 -> padded 16).  The
+        # round-3 fault class was exactly this config; the round-4
+        # sublane-tile padding (graph.deep_stencil) must make it run FUSED
+        # on a clean chip with ELLPACK-level accuracy (reference flagship
+        # architecture, quick_start.ipynb cell 7 / gnn_layers.py:137-150).
+        from deepsphere_tpu.ops.spmv import chebyshev_basis, graph_conv
+        from deepsphere_tpu.sphere.faces import face2nest_index
+
+        K10 = 10
+        ns = int(os.environ.get("TC_QS_NSIDE", 64))
+        name = f"qs10_n{ns}"
+        try:
+            g = build_sphere_graph(ns, k=8, method="grid", cache_dir=cache)
+            stq = g.deep_stencil(0.75, K10)
+            assert ps.fused_available(stq, "cheby", K10), (
+                f"padded h={stq.n_steps} must be fused-eligible"
+            )
+            tq = jax.device_put(stencil_tables(stq))
+            kern = jnp.asarray(
+                rng.normal(scale=0.1, size=(FIN * K10, FOUT)), jnp.float32
+            )
+            xn = rng.normal(size=(BATCH, g.n_pixels, FIN)).astype(np.float32)
+            idx_np, val_np = g.ellpack(0.75)
+            ell = jax.device_put({"idx": idx_np, "val": val_np})
+            y_ref_nest = np.asarray(jax.jit(
+                lambda e, x, kr: graph_conv(
+                    lambda x2d, nt: chebyshev_basis(
+                        e["idx"], e["val"], x2d, nt
+                    ), x, kr, K10,
+                )
+            )(ell, jnp.asarray(xn), kern))
+            del ell
+            f2n = face2nest_index(ns)
+            xf = np.empty_like(xn)
+            xf[:, f2n, :] = xn
+            y_ref = np.empty_like(y_ref_nest)
+            y_ref[:, f2n, :] = y_ref_nest
+
+            @jax.jit
+            def convq(tables, x, kr):
+                return stencil_graph_conv(
+                    stq, x, kr, K10, "cheby", tables=tables, layout="face"
+                )
+
+            xj = jnp.asarray(xf)
+            yq = np.asarray(convq(tq, xj, kern))
+            err = float(np.abs(yq - y_ref).max())
+            dt = timed(convq, tq, xj, kern, n_iters=10)
+            bank(name, radius=int(stq.radius), h=int(stq.n_steps),
+                 max_abs_err=err, ok=err < 1e-4,
+                 step_ms=round(dt * 1e3, 2))
+        except Exception as e:
+            bank(name, error=str(e)[:300])
 
 
 if __name__ == "__main__":
