@@ -59,11 +59,19 @@ __all__ = [
 #: width tables pinned by the reference at ``setup.cfg:20``).  The ratio is
 #: scale-free and converges as nside grows (pixel spacing ~ 1/nside), so
 #: nsides above the table reuse the largest tabulated entry.
+#:
+#: nside <= 16 entries use the dense-eigh objective (lmax_fit = 3*nside/2);
+#: nside = 32 entries use shift-invert Lanczos over the lowest multiplets
+#: (lmax_fit = 16 — the regime smoothing/conv kernels actually live in).
+#: Residual within-multiplet dispersion at the nside=32 optimum:
+#: k=20 4.2e-3, k=40 9.1e-4, k=60 5.4e-4 (vs 3.8e-2 / 2.8e-2 / 1.6e-2 at
+#: ratio 1.0), so production nsides extrapolate from a measured optimum
+#: rather than the nside=16 assumption flagged in round 3.
 HARMONIC_WIDTH_RATIO = {
     8: {4: 0.5879, 8: 0.5166, 16: 0.5054, 32: 0.5029},
-    20: {8: 0.4368, 16: 0.4036},
-    40: {8: 0.4632, 16: 0.4005},
-    60: {8: 0.5004, 16: 0.4005},
+    20: {8: 0.4368, 16: 0.4036, 32: 0.3845},
+    40: {8: 0.4632, 16: 0.4005, 32: 0.3269},
+    60: {8: 0.5004, 16: 0.4005, 32: 0.3152},
 }
 
 

@@ -153,8 +153,25 @@ def cfp_io_available(st: FaceStencil):
     return st.nside % 16 == 0 and st.nside >= _round_up(h, 16)
 
 
-def _vmem_budget():
-    return int(os.environ.get("DS_PALLAS_VMEM_MB", "96")) * 2**20
+def _vmem_budget(lap_temps=0):
+    """Band working-set envelope checked against :func:`_vmem_est`.  Two
+    on-chip calibration classes (v5e, 128 MiB VMEM hard limit):
+
+    * radius-1 (``lap_temps == 0``): the 6-copy recursion-state model is
+      conservative — the largest production shape (nside=1024, C=16,
+      Tr=128) has est = 127 MB and compiles + runs inside the hard limit
+      (round 4: 12.73 ms vs 13.82 ms at the Tr=64 the old 96 MB budget
+      forced), so the default envelope is 127 MB.
+    * radius >= 2: the per-lap roll temporaries dominate and the estimate
+      UNDERSHOT once (k=20@256 round-2: 140 MB actual vs 51 MB estimated
+      with the radius-1 formula -> compile OOM recorded as a worker
+      crash), so the envelope stays at the safer 96 MB.
+
+    ``DS_PALLAS_VMEM_MB`` overrides both."""
+    env = os.environ.get("DS_PALLAS_VMEM_MB")
+    if env is not None:
+        return int(env) * 2**20
+    return (127 if lap_temps == 0 else 96) * 2**20
 
 
 def _vmem_est(Tr, R, P, C, cout, nplanes, io_blocks, band_bytes, io_bytes,
@@ -193,7 +210,7 @@ def _pick_band(n, R, P, C, cout, nplanes=9, io_blocks=2, band_bytes=4,
     ``io_bytes``: bytes per element of the DMA scratch and pipeline blocks
     (2 in bf16-I/O mode).  Bands must be ``align``-row aligned so every
     DMA row slice is (align = sublane tile height of the I/O dtype)."""
-    budget = _vmem_budget()
+    budget = _vmem_budget(lap_temps)
     align = 16 if io_bytes == 2 else 8
     for Tr in (512, 256, 128, 64, 32, 16, 8):
         if Tr > n or n % Tr or Tr < R or Tr % align:
@@ -848,7 +865,8 @@ def _run_stencil_kernel(st, kind, n_terms, xc, wext, strips, wk3, B,
         bb = 2 if bdt == jnp.bfloat16 else 4
         ib = 2 if iodt == jnp.bfloat16 else 4
         est = _vmem_est(Tr, R, P, C, Cout, nplanes, 2, bb, ib)
-        if est + K * C * Tr * P * bb <= _vmem_budget():
+        radius = getattr(st, "radius", 1) or 1
+        if est + K * C * Tr * P * bb <= _vmem_budget(0 if radius <= 1 else 1):
             contract = "dots"
             wkT = jnp.transpose(wk3, (2, 0, 1)).reshape(Fout, K * Fin)
 
