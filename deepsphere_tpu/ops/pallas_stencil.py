@@ -113,13 +113,27 @@ def fused_available(st: FaceStencil, kind, n_terms):
     stencil built through the framework lands in the verified class and
     runs fused.  This gate remains only for hand-built stencils with an
     explicitly unaligned ``n_steps``; those fall back to the per-step XLA
-    stencil path (correct, slower).  Interpret mode (CPU) is unaffected."""
+    stencil path (correct, slower).  Interpret mode (CPU) is unaffected.
+
+    Radius >= 3 additionally declines in compiled mode as a PERFORMANCE
+    choice (measured slower fused than the XLA stencil path — see the
+    inline comment; ``DS_ALLOW_FUSED_R3=1`` forces fused)."""
     mode = config.pallas_mode()
     if mode is None:
         return False
     if not cfp_structural_available(st, kind, n_terms):
         return False
     if mode == "compile" and st.n_steps > 8 and st.n_steps % 8:
+        return False
+    if (mode == "compile" and (getattr(st, "radius", 1) or 1) >= 3
+            and not os.environ.get("DS_ALLOW_FUSED_R3")):
+        # PERFORMANCE gate, not a fault gate (round 4): radius >= 3 runs
+        # correctly fused after the sublane-tile padding (k=40@128 err
+        # 7.2e-7, k=60@128 err 4.8e-7 on chip) but the (2r+1)^2 tap planes
+        # + per-lap roll temporaries shrink the band to Tr=8-16 and the
+        # fused form measures ~2.7x SLOWER than the per-step XLA stencil
+        # (k=40@128 K=5: 30.92 ms fused vs 11.43 ms XLA; k=60@128:
+        # 40.08 ms fused).  Radius <= 2 stays fused (it wins there).
         return False
     # NOTE: the 8 here is the f32 sublane count, and only f32 I/O configs
     # were bisected on hardware.  Under bfloat16_io the window margin

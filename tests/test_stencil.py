@@ -505,7 +505,14 @@ class TestRingStencil:
         assert st9 is not None and st9.n_steps == 8
 
         monkeypatch.setattr(cfg, "pallas_mode", lambda: "compile")
+        # radius >= 3 declines compiled fused execution on PERFORMANCE
+        # grounds (k=40@128 measured 30.92 ms fused vs 11.43 ms on the
+        # per-step XLA path — see fused_available); the padded geometry
+        # itself is correct on chip, so the override re-enables it
+        assert not ps.fused_available(st3, "cheby", 5)
+        monkeypatch.setenv("DS_ALLOW_FUSED_R3", "1")
         assert ps.fused_available(st3, "cheby", 5)
+        monkeypatch.delenv("DS_ALLOW_FUSED_R3")
         assert ps.fused_available(st2, "cheby", 5)
         assert ps.fused_available(st10, "cheby", 10)
         assert ps.fused_available(st9, "cheby", 9)
