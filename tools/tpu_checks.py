@@ -20,7 +20,7 @@ Env:    TC_STAGES selects stages (default all):
         5 = bf16 HBM-I/O (stage B) correctness at TC_SMALL_NSIDE
         6 = bf16 HBM-I/O conv + train timing at the headline nside
         7 = deep-halo k in {20,40,60} correctness vs ELLPACK + timing
-            (configs via TC_DEEP, default "20:256,40:128,60:64")
+            (configs via TC_DEEP, default "20:256,40:128,60:128")
         8 = quick-start shape (radius-1 K=10, halo 9 -> padded 16)
             fused correctness vs ELLPACK + timing (TC_QS_NSIDE, def 64)
 """
@@ -462,13 +462,16 @@ def main():
         from deepsphere_tpu.ops.spmv import chebyshev_basis, graph_conv
         from deepsphere_tpu.sphere.faces import face2nest_index
 
-        # k=20 exercises the fused radius-2 kernel; k=40/60 now validate
-        # the gated XLA fallback (fused radius>=3 multi-lap declines on
-        # real TPU — see ops.pallas_stencil.fused_available).  k=60 runs
-        # at nside=64: its grid-graph build at 128 is >10 min of host
-        # numpy, which starves the unattended queue
+        # k=20 exercises the fused radius-2 kernel; k=40/60 (radius 3/4)
+        # run the per-step XLA stencil path by default — correct fused
+        # since the round-4 sublane padding (k=40@128 err 7.2e-7 at
+        # 30.92 ms, k=60@128 err 4.8e-7 at 40.08 ms) but measured slower
+        # than XLA (11.43 ms at k=40@128), so fused_available declines
+        # radius >= 3 in compiled mode; DS_ALLOW_FUSED_R3=1 re-probes the
+        # fused form.  Graph builds at nside=128 are ~1 min since the
+        # native stencil-plane extractor.
         deep_cfgs = os.environ.get(
-            "TC_DEEP", "20:256,40:128,60:64"
+            "TC_DEEP", "20:256,40:128,60:128"
         ).split(",")
         for spec in deep_cfgs:
             kk, ns = (int(v) for v in spec.split(":"))
