@@ -213,19 +213,6 @@ def stage_core(extra):
     extra["step_ms"] = round(dt * 1e3, 2)
     _bank(extra)
 
-    @jax.jit
-    def conv_stencil(tables, x, kernel):
-        return stencil_graph_conv(
-            st, x, kernel, K, "cheby", tables=tables, layout="face"
-        )
-
-    try:
-        dt_f = _time(conv_stencil, st_tables, x, kernel, n_iters=5)
-        extra["face_flat_step_ms"] = round(dt_f * 1e3, 2)
-    except Exception as e:
-        extra["face_flat_error"] = str(e)[:160]
-    _bank(extra)
-
     # training step at the headline config: fwd + dx + dW through the fused
     # conv's custom VJP.  BOTH cotangents must feed the next iteration —
     # returning dx alone lets XLA dead-code-eliminate the whole dW pass
@@ -255,6 +242,24 @@ def stage_core(extra):
         extra["train_over_fwd"] = round(dt_t / dt, 2)
     except Exception as e:
         extra["train_step_error"] = str(e)[:160]
+    _bank(extra)
+
+    # face-flat wrapper comparison LAST: it is a diagnostic extra (how much
+    # the NEST<->cface conversion costs when paid per call), so it is the
+    # right casualty if the stage cap lands mid-core — round 4's rehearsal
+    # showed the 900 s cap covers setup + fwd + one more big compile, not
+    # three (train_step_ms lost to the face-flat compile that preceded it)
+    @jax.jit
+    def conv_stencil(tables, x, kernel):
+        return stencil_graph_conv(
+            st, x, kernel, K, "cheby", tables=tables, layout="face"
+        )
+
+    try:
+        dt_f = _time(conv_stencil, st_tables, x, kernel, n_iters=5)
+        extra["face_flat_step_ms"] = round(dt_f * 1e3, 2)
+    except Exception as e:
+        extra["face_flat_error"] = str(e)[:160]
     _bank(extra)
 
 
