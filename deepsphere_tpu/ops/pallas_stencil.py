@@ -924,7 +924,15 @@ def _run_grad_kernel(st, kind, n_terms, xc, wext, strips, dy, B, Fin,
     nplanes = len(st.offsets)
     iodt = xc.dtype
     contract, bdt = _resolve_contract_dtype(B * Fin * Fout * K, iodt)
-    n, h, R, P, Tr, Sd = _band_geometry(st, C, Cout, bdt=bdt, iodt=iodt)
+    # io_blocks=3: on top of the double-buffered (Cout, Tr, P) dy input
+    # blocks, _grad_kernel keeps a full interior-MASKED dy copy live across
+    # the term stream — one extra Cout-sized buffer the forward does not
+    # have.  Measured on-chip (v5e, nside=1024 C=Cout=16): io_blocks=2
+    # picks Tr=128 and the compile OOMs VMEM at 131.27M/128M; io_blocks=3
+    # drops this kernel (only this one) back to Tr=64, which compiles and
+    # runs.  The default fused dx+dW backward is unaffected (io_blocks=4).
+    n, h, R, P, Tr, Sd = _band_geometry(st, C, Cout, io_blocks=3,
+                                        bdt=bdt, iodt=iodt)
 
     kernel = partial(_grad_kernel, kind, K, st.radius, contract, bdt, n, h,
                      R, Tr, Sd, P, C, Cout, B, Fin, Fout)

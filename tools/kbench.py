@@ -9,7 +9,9 @@ Usage:  python tools/kbench.py [nside]
 Env:    KB_K, KB_FIN, KB_FOUT, KB_BATCH override the shape family;
         KB_DTYPE=bfloat16 measures the bf16 band mode (config.conv_dtype);
         KB_DTYPE=bfloat16_io measures the bf16 HBM-I/O mode (stage B:
-        bf16 activations/strips/planes/output, halved DMA bytes).
+        bf16 activations/strips/planes/output, halved DMA bytes);
+        KB_CONTRACT=axpy|dot forces the channel-contraction strategy
+        (default: config "auto" heuristic).
 """
 
 import os
@@ -75,6 +77,10 @@ def main():
     interpret = jax.default_backend() != "tpu"
     kb_dtype = os.environ.get("KB_DTYPE", "float32")
     ds_config.set_conv_dtype(kb_dtype)
+    kb_contract = os.environ.get("KB_CONTRACT")
+    if kb_contract:
+        ds_config.set_contract_mode(kb_contract)
+        print(f"contract mode : {kb_contract} (forced)")
     io_mode = kb_dtype == "bfloat16_io"
     if io_mode and not ps.cfp_io_available(st):
         print(f"bf16-I/O unsupported at nside={n} (needs nside % 16 == 0 "
