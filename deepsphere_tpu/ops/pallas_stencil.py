@@ -243,7 +243,12 @@ def _pick_band(n, R, P, C, cout, nplanes=9, io_blocks=2, band_bytes=4,
     return n
 
 
-def _band_geometry(st, C, cout, io_blocks=2, bdt=None, iodt=None):
+def _band_geometry(st, C, cout, io_blocks=2, bdt=None, iodt=None,
+                   extra_band_temps=0):
+    """``extra_band_temps``: additional live band-sized (C, ~Sd, P)
+    buffers in band dtype beyond the recursion baseline — the stacked
+    MXU contraction retains the K term centers, so its callers pass
+    ``K`` here (slightly conservative: centers are Tr-, not Sd-, high)."""
     n = st.nside
     h = st.n_steps
     _, P = cfp_geometry(n, h)
@@ -257,7 +262,8 @@ def _band_geometry(st, C, cout, io_blocks=2, bdt=None, iodt=None):
     lap_temps = 0 if radius <= 1 else (h // radius) * (2 * radius + 1)
     Tr = _pick_band(n, R, P, C, cout, nplanes=len(st.offsets),
                     io_blocks=io_blocks, band_bytes=band_bytes,
-                    io_bytes=io_bytes, lap_temps=lap_temps)
+                    io_bytes=io_bytes,
+                    lap_temps=lap_temps + extra_band_temps)
     Sd = Tr + 2 * R
     return n, h, R, P, Tr, Sd
 
@@ -878,9 +884,20 @@ def _run_stencil_kernel(st, kind, n_terms, xc, wext, strips, wk3, B,
         # slices fit on top of the band working set (see _stencil_kernel)
         bb = 2 if bdt == jnp.bfloat16 else 4
         ib = 2 if iodt == jnp.bfloat16 else 4
-        est = _vmem_est(Tr, R, P, C, Cout, nplanes, 2, bb, ib)
         radius = getattr(st, "radius", 1) or 1
-        if est + K * C * Tr * P * bb <= _vmem_budget(0 if radius <= 1 else 1):
+        budget = _vmem_budget(0 if radius <= 1 else 1)
+        est = _vmem_est(Tr, R, P, C, Cout, nplanes, 2, bb, ib)
+        if est + K * C * Tr * P * bb > budget:
+            # retained centers don't fit at the default band: shrink the
+            # band with the K retained centers folded into the estimate
+            # (plain per-term dot is NOT a safe fallback at large P — at
+            # nside=1024 C=16 Mosaic spills 164M of vregs and the compile
+            # VMEM-OOMs at 215M/128M, measured on-chip round 4)
+            n, h, R, P, Tr, Sd = _band_geometry(st, C, Cout, bdt=bdt,
+                                                iodt=iodt,
+                                                extra_band_temps=K)
+            est = _vmem_est(Tr, R, P, C, Cout, nplanes, 2, bb, ib)
+        if est + K * C * Tr * P * bb <= budget:
             contract = "dots"
             wkT = jnp.transpose(wk3, (2, 0, 1)).reshape(Fout, K * Fin)
 
@@ -981,8 +998,17 @@ def _run_dxdw_kernel(st, kind, n_terms, dy, wext, strips, wk3t, xr, B,
     iodt = dy.dtype
     contract, bdt = _resolve_contract_dtype(B * Fin * Fout * K, iodt)
     wkT = jnp.transpose(wk3t, (0, 2, 1))
-    n, h, R, P, Tr, Sd = _band_geometry(st, C, Cout, io_blocks=4,
-                                       bdt=bdt, iodt=iodt)
+    # dot mode: the per-term MXU path keeps a (Cout, Tr*P) masked-dy copy,
+    # the dx accumulator, and the per-batch matmul temporaries live across
+    # the unrolled term loop; at Tr=64/P=1280 Mosaic spills 102M of vregs
+    # and the compile VMEM-OOMs (139M/128M, measured on-chip round 4).
+    # Folding ~K extra band temps into the estimate shrinks the band until
+    # the unrolled live set fits.  Auto-dot configs (unroll > 1024 means
+    # large C) already land on tiny bands, so this only changes forced-dot
+    # A/B runs and large-channel + large-nside corners.
+    n, h, R, P, Tr, Sd = _band_geometry(
+        st, C, Cout, io_blocks=4, bdt=bdt, iodt=iodt,
+        extra_band_temps=K if contract == "dot" else 0)
 
     kernel = partial(_dxdw_kernel, kind, K, st.radius, contract, bdt, n, h,
                      R, Tr, Sd, P, C, Cout, B, Fin, Fout)
