@@ -71,18 +71,32 @@ RECOVER_S = float(os.environ.get("BENCH_RECOVER_S", 45))
 _T0 = time.time()
 
 MARKER = "BENCH-STAGE-RESULT "
+STAGE_START = "BENCH-STAGE-START "
+STAGE_END = "BENCH-STAGE-END "
 
 # (name, default-on, wall-clock cap seconds).  Order is headline-first:
 # the parent prints a full, driver-parseable result JSON line after EVERY
 # stage (the driver reads the LAST JSON line), so even a SIGKILL mid-run
 # leaves everything measured so far banked — round 3's official artifact
 # was rc=124/parsed=null because the single final print never ran.
+# Round-5 restructure: ONE child runs all stages sequentially.  Measured
+# on this box: the FIRST jit compile in a process pays a ~230-380 s
+# fixed penalty (remote-compile session init through the tunnel);
+# subsequent compiles in the SAME process are ~1-2 s class.  The round-4
+# subprocess-per-stage design paid that penalty five times — model, k20
+# and smooth each burned their whole cap on it (BENCH_r04: three "stage
+# timeout" errors in a row).  Caps below are per-stage SOFT deadlines
+# enforced by the parent's stdout-streaming watchdog: on a breach (or a
+# chip fault) the child is killed and a fresh child resumes with the
+# REMAINING stages, so a single bad stage costs at most its cap plus one
+# extra session-init penalty.  The first stage's cap absorbs the session
+# init of the happy path.
 STAGES = [
-    ("core", "1", 900.0),
-    ("model", "1", 400.0),
-    ("k20", "1", 400.0),
-    ("smooth", "1", 400.0),
-    ("gather", "1", 300.0),
+    ("core", "1", 800.0),
+    ("model", "1", 420.0),
+    ("k20", "1", 280.0),
+    ("smooth", "1", 240.0),
+    ("gather", "1", 120.0),
     ("bf16", "0", 700.0),
     ("bf16_io", "0", 700.0),
 ]
@@ -121,6 +135,32 @@ def _time(fn, tables, x, kernel, n_iters=20):
         z = fn(tables, z, kernel)
     readback(z)
     return (time.time() - t0) / n_iters
+
+
+def _numpy_cheby_conv(idx, val, x, kernel, K):
+    """Host-side f64 reference of the K-term Chebyshev ELLPACK conv
+    (mirrors ops.spmv.graph_conv + chebyshev_basis; used by correctness
+    gates so they never cost a remote TPU compile)."""
+    B, M, Fin = x.shape
+    Fout = kernel.shape[-1]
+    x2d = np.transpose(x, (1, 0, 2)).reshape(M, B * Fin).astype(np.float64)
+    val = val.astype(np.float64)
+
+    def spmv(y):
+        acc = val[:, 0:1] * y[idx[:, 0]]
+        for w in range(1, idx.shape[1]):
+            acc = acc + val[:, w : w + 1] * y[idx[:, w]]
+        return acc
+
+    terms = [x2d]
+    if K > 1:
+        terms.append(spmv(x2d))
+        for _ in range(2, K):
+            terms.append(2.0 * spmv(terms[-1]) - terms[-2])
+    tx = np.stack(terms, axis=0).reshape(K, M, B, Fin)
+    tx = np.transpose(tx, (2, 1, 3, 0)).reshape(B * M, Fin * K)
+    y = tx @ kernel.astype(np.float64)
+    return y.reshape(B, M, Fout).astype(np.float32)
 
 
 def _jax():
@@ -441,19 +481,16 @@ def stage_k20(extra):
         jnp.float32,
     )
 
-    # correctness first (vs the ELLPACK gather path), so a wrong-but-fast
-    # kernel can't bank a number.  The gather path is NEST-ordered and the
-    # timed stencil path is face-flat; permute on the HOST (free) instead
-    # of compiling a second layout variant through the tunnel.
-    from deepsphere_tpu.ops.spmv import chebyshev_basis, graph_conv
+    # correctness first (vs the ELLPACK gather formulation), so a
+    # wrong-but-fast kernel can't bank a number.  The reference runs in
+    # PURE NUMPY on the host (f64): the previous jitted ELLPACK reference
+    # cost this stage a whole remote compile — on a slow-compile day that
+    # alone blew the 400 s cap (round-4 artifact: "stage timeout").
     from deepsphere_tpu.sphere.faces import face2nest_index
 
     idx_np, val_np = g20.ellpack(0.75)
-    ell = jax.device_put({"idx": idx_np, "val": val_np})
-    y_ref_nest = np.asarray(jax.jit(lambda e, x, k: graph_conv(
-        lambda x2d, nt: chebyshev_basis(e["idx"], e["val"], x2d, nt),
-        x, k, K))(ell, x20, kernel))
-    del ell
+    y_ref_nest = _numpy_cheby_conv(idx_np, val_np, np.asarray(x20),
+                                   np.asarray(kernel), K)
     f2n = face2nest_index(n20)  # face position of each NEST pixel
     x20_face = np.empty_like(np.asarray(x20))
     x20_face[:, f2n, :] = np.asarray(x20)
@@ -631,27 +668,33 @@ def _cache_dir():
     return cache
 
 
-def child_main(stage):
-    """Run one stage; print incremental marker lines; never let an
-    exception reach the driver as a hard failure."""
+def child_main(stages):
+    """Run a comma-list of stages SEQUENTIALLY in one process (one
+    remote-compile session init for all of them); print incremental
+    marker lines; never let an exception reach the driver as a hard
+    failure.  A per-stage exception is banked and the next stage still
+    runs — only a process-killing fault (chip fault, OOM kill) ends the
+    run early, and the parent then respawns with the remaining stages."""
     extra = {}
     inject_fail = os.environ.get("BENCH_INJECT_FAIL", "").split(",")
     inject_hang = os.environ.get("BENCH_INJECT_HANG", "").split(",")
-    try:
-        if os.environ.get("DS_USE_PALLAS"):
-            # set by the parent's core-retry path (fresh child, XLA path)
-            import deepsphere_tpu.config as ds_config
+    if os.environ.get("DS_USE_PALLAS"):
+        # set by the parent's core-retry path (fresh child, XLA path)
+        import deepsphere_tpu.config as ds_config
 
-            ds_config.set_use_pallas(os.environ["DS_USE_PALLAS"])
-        if stage in inject_fail:
-            raise RuntimeError(f"injected failure in stage {stage}")
-        if stage in inject_hang:
-            time.sleep(10_000)
-        STAGE_FNS[stage](extra)
-    except Exception as e:  # noqa: BLE001 — banked, never fatal
-        extra[stage + "_error"] = f"{type(e).__name__}: {e}"[:300]
-        _bank(extra)
-        return 0
+        ds_config.set_use_pallas(os.environ["DS_USE_PALLAS"])
+    for stage in stages.split(","):
+        print(STAGE_START + stage, flush=True)
+        try:
+            if stage in inject_fail:
+                raise RuntimeError(f"injected failure in stage {stage}")
+            if stage in inject_hang:
+                time.sleep(10_000)
+            STAGE_FNS[stage](extra)
+        except Exception as e:  # noqa: BLE001 — banked, never fatal
+            extra[stage + "_error"] = f"{type(e).__name__}: {e}"[:300]
+            _bank(extra)
+        print(STAGE_END + stage, flush=True)
     return 0
 
 
@@ -663,60 +706,119 @@ _CRASH_SIGNATURES = ("UNAVAILABLE", "worker process crashed", "kernel fault",
                      "DEADLINE_EXCEEDED")
 
 
-def _run_stage_child(name, timeout_s, extra, env_extra=None):
-    """Spawn ``python bench.py --stage name``; merge its last marker line.
-    Returns True if the child's output suggests the TPU worker died."""
-    cmd = [sys.executable, os.path.abspath(__file__), "--stage", name]
-    env = None
-    if env_extra:
-        env = dict(os.environ, **env_extra)
-    print(f"[bench] stage {name}: launching (timeout {timeout_s:.0f}s)",
-          file=sys.stderr, flush=True)
-    t0 = time.time()
-    crashed = False
-    tail = ""
-    try:
-        proc = subprocess.run(
-            cmd, stdout=subprocess.PIPE, stderr=None, env=env,
-            timeout=timeout_s, text=True, errors="replace",
-        )
-        out, rc = proc.stdout or "", proc.returncode
-    except subprocess.TimeoutExpired as e:
-        out = (e.stdout.decode(errors="replace")
-               if isinstance(e.stdout, bytes) else (e.stdout or ""))
-        rc = None
-        extra[name + "_error"] = f"stage timeout after {timeout_s:.0f}s"
-    except Exception as e:  # spawn failure
-        extra[name + "_error"] = f"spawn failed: {e}"[:200]
-        return False
+def _stage_deadline(cap):
+    """Effective per-stage deadline: its cap, clamped to the remaining
+    global budget (minus final-print headroom)."""
+    remaining = BUDGET_S - (time.time() - _T0)
+    return min(cap, max(remaining - 30, MIN_STAGE_S))
 
-    banked = None
-    for line in out.splitlines():
-        if line.startswith(MARKER):
+
+def _run_stages_child(stage_caps, extra, env_extra=None):
+    """Spawn ONE ``python bench.py --stage a,b,c`` child over all pending
+    stages, stream its stdout, and enforce per-stage deadlines.
+
+    Marker lines are merged into ``extra`` AS THEY ARRIVE.  When the
+    current stage exceeds its deadline the child is killed (a hung remote
+    compile holds the GIL-free subprocess only, never the parent).
+
+    Returns (completed stage names, crashed flag, stage being run when the
+    child died or None).
+    """
+    import queue
+    import threading
+
+    names = [n for n, _ in stage_caps]
+    caps = dict(stage_caps)
+    cmd = [sys.executable, os.path.abspath(__file__), "--stage",
+           ",".join(names)]
+    env = dict(os.environ, **(env_extra or {}))
+    print(f"[bench] child: launching stages {names}",
+          file=sys.stderr, flush=True)
+    try:
+        proc = subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=None, env=env,
+            text=True, errors="replace", bufsize=1,
+        )
+    except Exception as e:  # spawn failure
+        for n in names:
+            extra.setdefault(n + "_error", f"spawn failed: {e}"[:200])
+        return [], False, None
+
+    q = queue.Queue()
+
+    def reader():
+        for line in proc.stdout:
+            q.put(line.rstrip("\n"))
+        q.put(None)
+
+    threading.Thread(target=reader, daemon=True).start()
+
+    completed = []
+    current = None
+    t_stage = time.time()
+    deadline = _stage_deadline(caps[names[0]])
+    crashed = False
+    eof = False
+    while not eof:
+        try:
+            line = q.get(timeout=1.0)
+        except queue.Empty:
+            line = ""
+        if line is None:
+            eof = True
+        elif line.startswith(MARKER):
             try:
-                banked = json.loads(line[len(MARKER):])
+                extra.update(json.loads(line[len(MARKER):]))
             except ValueError:
                 pass
-        else:
-            tail = line  # keep last non-marker line for diagnostics
-    if banked:
-        extra.update(banked)
-    if rc not in (0, None):
-        # record the failure even when marker lines were banked first —
-        # e.g. a child that banks an error metric, then faults before
-        # timing, must not leave the final JSON silently incomplete
+        elif line.startswith(STAGE_START):
+            current = line[len(STAGE_START):].strip()
+            t_stage = time.time()
+            deadline = _stage_deadline(caps.get(current, 300.0))
+            print(f"[bench] stage {current}: started "
+                  f"(deadline {deadline:.0f}s)", file=sys.stderr, flush=True)
+        elif line.startswith(STAGE_END):
+            done = line[len(STAGE_END):].strip()
+            completed.append(done)
+            print(f"[bench] stage {done}: done in "
+                  f"{time.time() - t_stage:.0f}s", file=sys.stderr,
+                  flush=True)
+            # bank the cumulative result after every finished stage: the
+            # driver parses the LAST JSON line, so a SIGKILL of the
+            # parent mid-run still leaves everything so far on record
+            print(json.dumps(_result(dict(extra))), flush=True)
+            current = None
+        elif line:
+            if any(sig in line for sig in _CRASH_SIGNATURES):
+                crashed = True
+        if current is not None and time.time() - t_stage > deadline:
+            extra.setdefault(
+                current + "_error",
+                f"stage timeout after {deadline:.0f}s",
+            )
+            proc.kill()
+            # drain the reader to EOF so banked markers are not lost
+            while True:
+                tail_line = q.get()
+                if tail_line is None:
+                    break
+                if tail_line.startswith(MARKER):
+                    try:
+                        extra.update(json.loads(tail_line[len(MARKER):]))
+                    except ValueError:
+                        pass
+            return completed, True, current
+        if current is None and not eof and \
+                BUDGET_S - (time.time() - _T0) < 5:
+            proc.kill()  # out of global budget between stages
+            return completed, False, None
+    rc = proc.wait()
+    if rc != 0 and current is not None:
         extra.setdefault(
-            name + "_error",
-            f"child rc={rc}: {tail[:200]}" if tail else f"child rc={rc}",
+            current + "_error", f"child died rc={rc} during {current}"
         )
-    err_text = str(extra.get(name + "_error") or "")
-    crashed = (rc is not None and rc != 0) or any(
-        sig in out or sig in err_text for sig in _CRASH_SIGNATURES
-    )
-    print(f"[bench] stage {name}: done in {time.time() - t0:.0f}s "
-          f"(rc={rc}, banked={banked is not None})",
-          file=sys.stderr, flush=True)
-    return crashed
+        crashed = True
+    return completed, crashed, current if rc != 0 else None
 
 
 def _result(extra):
@@ -740,47 +842,50 @@ def _result(extra):
 def parent_main():
     extra = {}
     try:
-        for name, default_on, cap in STAGES:
-            if os.environ.get("BENCH_" + name.upper(), default_on) != "1":
-                continue
+        pending = [
+            (name, cap) for name, default_on, cap in STAGES
+            if os.environ.get("BENCH_" + name.upper(), default_on) == "1"
+        ]
+        core_retry_done = False
+        while pending:
             remaining = BUDGET_S - (time.time() - _T0)
-            if name != "core" and remaining < MIN_STAGE_S:
-                extra[name + "_skipped"] = "wall-clock budget (BENCH_BUDGET_S)"
-                continue
-            # core always launches (it IS the metric) but still gets a hard
-            # timeout so the final JSON prints inside the driver's budget
-            timeout_s = min(cap, max(remaining - 30, MIN_STAGE_S))
-            crashed = _run_stage_child(name, timeout_s, extra)
-            # bank the current cumulative result NOW: the driver parses the
-            # LAST JSON line, so a SIGKILL during any later stage still
-            # leaves everything measured so far on the record
-            print(json.dumps(_result(extra)), flush=True)
-            if name == "core" and "step_ms" not in extra:
+            if remaining < MIN_STAGE_S:
+                for name, _ in pending:
+                    extra.setdefault(
+                        name + "_skipped",
+                        "wall-clock budget (BENCH_BUDGET_S)",
+                    )
+                break
+            completed, crashed, died_in = _run_stages_child(pending, extra)
+            print(json.dumps(_result(dict(extra))), flush=True)
+            done_or_dead = set(completed) | ({died_in} if died_in else set())
+            pending = [(n, c) for n, c in pending if n not in done_or_dead]
+            if (died_in == "core" and "step_ms" not in extra
+                    and not core_retry_done):
                 # headline never banked (fused kernel may have poisoned the
                 # child's runtime before the in-child fallback could run):
                 # retry ONCE in a fresh child with the Pallas path disabled
+                core_retry_done = True
                 remaining = BUDGET_S - (time.time() - _T0)
                 if remaining > MIN_STAGE_S:
                     if crashed and RECOVER_S > 0:
                         time.sleep(min(RECOVER_S, remaining / 4))
                     print("[bench] core retry with DS_USE_PALLAS=off",
                           file=sys.stderr, flush=True)
-                    timeout_s = min(cap, max(remaining - 30, MIN_STAGE_S))
-                    crashed = _run_stage_child(
-                        "core", timeout_s, extra,
+                    _run_stages_child(
+                        [("core", 800.0)], extra,
                         env_extra={"DS_USE_PALLAS": "off"},
                     )
                     extra.setdefault("fallback", "xla_stencil (fresh child)")
-                    print(json.dumps(_result(extra)), flush=True)
-            if crashed and RECOVER_S > 0:
+                    print(json.dumps(_result(dict(extra))), flush=True)
+            elif crashed and pending and RECOVER_S > 0:
                 # chip-fault signature: give the TPU worker time to restart
                 # before the next child connects
                 budget_left = BUDGET_S - (time.time() - _T0)
                 pause = min(RECOVER_S, max(budget_left - MIN_STAGE_S, 0))
                 if pause > 0:
-                    print(f"[bench] crash signature in {name}; sleeping "
-                          f"{pause:.0f}s for worker recovery",
-                          file=sys.stderr, flush=True)
+                    print(f"[bench] crash signature; sleeping {pause:.0f}s "
+                          f"for worker recovery", file=sys.stderr, flush=True)
                     time.sleep(pause)
     except BaseException as e:  # noqa: BLE001 — the finally must still print
         extra["orchestrator_error"] = f"{type(e).__name__}: {e}"[:200]

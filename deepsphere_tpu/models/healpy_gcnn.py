@@ -220,10 +220,25 @@ class HealpyGCNN:
         current_indices = self.indices_in
 
         for layer in self.layers_in:
-            if isinstance(layer, _DeferredLayer):
+            if isinstance(layer, _DeferredLayer) and layer.needs == "res":
+                # resolution-only layers (deferred HealpySmoothing): no
+                # graph Laplacian build, just the current nside/indices
+                actual = layer._get_layer_res(
+                    current_nside, current_indices,
+                    cache_dir=self._graph_cache_dir,
+                )
+                self.layers_use.append(actual)
+            elif isinstance(layer, _DeferredLayer):
                 graph = self._get_graph(current_nside, current_indices)
                 extra = {}
                 if shard_cfg is not None and layer.needs == "L":
+                    extra["shard_cfg"] = shard_cfg
+                elif (shard_cfg is not None and layer.needs == "A"
+                      and graph.n_pixels % shard_cfg.n_pixel_shards == 0):
+                    # transformer: pixel-shard the edge-sparse attention
+                    # (dst-partitioned edges + local segment sums; see
+                    # parallel.attention_sharded).  Falls back to the
+                    # replicated path when the pixel count does not tile.
                     extra["shard_cfg"] = shard_cfg
                 actual = layer._get_layer(graph, **extra)
                 self.layers_use.append(actual)
@@ -459,9 +474,12 @@ class HealpyGCNN:
             # (stencil-compatible -> fused conv path, O(M) build, exact
             # masked-sky support) whenever a template exists for k — else
             # the kNN graph of the reference's pygsp backend.  Pass
-            # graph_method="knn" for strict reference-graph semantics (kNN
-            # edges deviate from the ring template on ~20-30% of rows,
-            # which forces the slow gather conv path).
+            # graph_method="knn" for strict reference-graph semantics;
+            # exact kNN ALSO rides the fast stencil path via capture-window
+            # extraction (KNN_CAPTURE_RADIUS + SphereGraph.stencil_radius,
+            # pinned by tests/test_knn_stencil.py): rows where the kNN edge set
+            # escapes the radius-r template get exact per-row corrections,
+            # so only pathological graphs fall back to the gather conv.
             from ..graph.laplacian import GRID_RADIUS
 
             method = self._graph_method

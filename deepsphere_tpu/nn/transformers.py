@@ -68,13 +68,19 @@ class _EdgeSet:
 
 
 class MultiHeadAttention(nn.Module):
-    """Pre-LN MHA block (dense or edge-sparse) with single-layer MLP."""
+    """Pre-LN MHA block (dense or edge-sparse) with single-layer MLP.
+
+    With ``shard_cfg`` set (and ``edges`` present), the edge-sparse
+    attention runs pixel-sharded: destination-partitioned edge chunks with
+    local segment reductions and one k/v all_gather over the pixel mesh
+    axis (see :mod:`~deepsphere_tpu.parallel.attention_sharded`)."""
 
     d_model: int
     num_heads: int
     use_norm: bool = True
     activation: Union[str, Callable] = "relu"
     edges: Optional[_EdgeSet] = None  # None -> dense attention
+    shard_cfg: Optional[Any] = None  # parallel.ShardConfig -> sharded edges
 
     def __post_init__(self):
         super().__post_init__()
@@ -100,6 +106,27 @@ class MultiHeadAttention(nn.Module):
 
         if self.edges is None:
             attn, _ = scaled_dot_product_attention(q, k, v, mask)
+        elif self.shard_cfg is not None:
+            from ..parallel.attention_sharded import (
+                partition_edges_by_dst, sharded_edge_attention)
+
+            n_shards = self.shard_cfg.n_pixel_shards
+            # dst-partitioned edge chunks ride "graph_tables" like the
+            # edge list itself: runtime arguments, not HLO constants
+            def _parts():
+                return partition_edges_by_dst(
+                    self.edges.edge_idx, self.edges.num_nodes, n_shards
+                )
+
+            parts = self.variable(
+                "graph_tables", "edges_parts", lambda: _parts()[0]
+            ).value
+            emask = self.variable(
+                "graph_tables", "edges_mask", lambda: _parts()[1]
+            ).value
+            attn = sharded_edge_attention(
+                q, k, v, parts, emask, self.shard_cfg
+            )
         else:
             # edge list rides the "graph_tables" collection so it enters jit
             # as a runtime argument, not an HLO constant (it is O(nnz))
@@ -197,6 +224,7 @@ class GraphTransformer(nn.Module):
     n_layers: int = 1
     activation: Union[str, Callable] = "relu"
     layer_norm: bool = True
+    shard_cfg: Optional[Any] = None  # pixel-shard the edge attention
 
     @classmethod
     def from_graph(cls, graph: SphereGraph, **kwargs):
@@ -222,6 +250,7 @@ class GraphTransformer(nn.Module):
                 use_norm=self.layer_norm,
                 activation=self.activation,
                 edges=self.edges,
+                shard_cfg=self.shard_cfg,
                 name=f"mha_{i}",
             )(y, training=training)
         return y

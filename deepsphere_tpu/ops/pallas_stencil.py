@@ -59,6 +59,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import config
+from .._logger import logger
 from ..graph.stencil import FaceStencil
 
 __all__ = [
@@ -213,7 +214,7 @@ def _vmem_est(Tr, R, P, C, cout, nplanes, io_blocks, band_bytes, io_bytes,
 
 
 def _pick_band(n, R, P, C, cout, nplanes=9, io_blocks=2, band_bytes=4,
-               io_bytes=4, lap_temps=0):
+               io_bytes=4, lap_temps=0, budget_lap_temps=None):
     """Row-band height Tr: the largest power-of-two band whose working set
     (recursion state + weight planes + accumulators + pipeline buffers)
     fits the VMEM budget.  ``io_blocks``: number of double-buffered
@@ -223,8 +224,17 @@ def _pick_band(n, R, P, C, cout, nplanes=9, io_blocks=2, band_bytes=4,
     cast halves the live temporaries, affording a larger band).
     ``io_bytes``: bytes per element of the DMA scratch and pipeline blocks
     (2 in bf16-I/O mode).  Bands must be ``align``-row aligned so every
-    DMA row slice is (align = sublane tile height of the I/O dtype)."""
-    budget = _vmem_budget(lap_temps)
+    DMA row slice is (align = sublane tile height of the I/O dtype).
+
+    ``budget_lap_temps``: the RADIUS-derived temp count that selects the
+    VMEM envelope class (radius-1 -> 127 MiB, radius>=2 -> 96 MiB).
+    ``lap_temps`` — which may additionally fold in contraction-retained
+    band temporaries (``extra_band_temps``) — only inflates the working-set
+    *estimate*; folding it into the budget class too made radius-1
+    dot-mode runs size against the 96 MiB envelope (ADVICE r4 #1)."""
+    if budget_lap_temps is None:
+        budget_lap_temps = lap_temps
+    budget = _vmem_budget(budget_lap_temps)
     align = 16 if io_bytes == 2 else 8
     for Tr in (512, 256, 128, 64, 32, 16, 8):
         if Tr > n or n % Tr or Tr < R or Tr % align:
@@ -263,7 +273,8 @@ def _band_geometry(st, C, cout, io_blocks=2, bdt=None, iodt=None,
     Tr = _pick_band(n, R, P, C, cout, nplanes=len(st.offsets),
                     io_blocks=io_blocks, band_bytes=band_bytes,
                     io_bytes=io_bytes,
-                    lap_temps=lap_temps + extra_band_temps)
+                    lap_temps=lap_temps + extra_band_temps,
+                    budget_lap_temps=lap_temps)
     Sd = Tr + 2 * R
     return n, h, R, P, Tr, Sd
 
@@ -861,6 +872,53 @@ def build_strips(st, xc, interpret=False):
     return _strip_arrays(st, xc)
 
 
+def fwd_contract_plan(st, B, Fin, Fout, K, iodt):
+    """Resolved execution plan of the forward/dx kernel: the effective
+    contraction strategy ('axpy' | 'dot' | 'dots'), band compute dtype,
+    and band geometry.  Shared by :func:`_run_stencil_kernel` and
+    diagnostics (tools/kbench.py echoes it so a forced ``KB_CONTRACT=dot``
+    that silently upgrades to 'dots' — or falls back to axpy — is visible
+    in the log, ADVICE r4 #4)."""
+    C, Cout = B * Fin, B * Fout
+    nplanes = len(st.offsets)
+    contract, bdt = _resolve_contract_dtype(B * Fin * Fout * K, iodt)
+    geom = _band_geometry(st, C, Cout, bdt=bdt, iodt=iodt)
+    if contract == "dot":
+        # upgrade to the stacked contraction when the K retained center
+        # slices fit on top of the band working set (see _stencil_kernel)
+        bb = 2 if bdt == jnp.bfloat16 else 4
+        ib = 2 if iodt == jnp.bfloat16 else 4
+        radius = getattr(st, "radius", 1) or 1
+        budget = _vmem_budget(0 if radius <= 1 else 1)
+        n, h, R, P, Tr, Sd = geom
+        est = _vmem_est(Tr, R, P, C, Cout, nplanes, 2, bb, ib)
+        if est + K * C * Tr * P * bb > budget:
+            # retained centers don't fit at the default band: shrink the
+            # band with the K retained centers folded into the estimate
+            # (plain per-term dot is NOT a safe fallback at large P — at
+            # nside=1024 C=16 Mosaic spills 164M of vregs and the compile
+            # VMEM-OOMs at 215M/128M, measured on-chip round 4)
+            geom = _band_geometry(st, C, Cout, bdt=bdt, iodt=iodt,
+                                  extra_band_temps=K)
+            n, h, R, P, Tr, Sd = geom
+            est = _vmem_est(Tr, R, P, C, Cout, nplanes, 2, bb, ib)
+        if est + K * C * Tr * P * bb <= budget:
+            contract = "dots"
+        else:
+            # even the re-derived band cannot hold the retained centers
+            # (reachable via _pick_band's estimate-ignoring extreme-pressure
+            # fallback): per-term dot is the Mosaic-vreg-spill/compile-OOM
+            # class at large P, so fall back to the always-compilable axpy
+            # unroll instead of silently keeping 'dot' (ADVICE r4 #2)
+            logger.warning(
+                "stacked dot contraction does not fit VMEM even at the "
+                f"shrunken band (Tr={geom[4]}); falling back to axpy"
+            )
+            contract = "axpy"
+            geom = _band_geometry(st, C, Cout, bdt=bdt, iodt=iodt)
+    return contract, bdt, geom
+
+
 def _run_stencil_kernel(st, kind, n_terms, xc, wext, strips, wk3, B,
                         interpret):
     """pallas_call plumbing for the forward/dx kernel.
@@ -876,30 +934,11 @@ def _run_stencil_kernel(st, kind, n_terms, xc, wext, strips, wk3, B,
     Cout = B * Fout
     nplanes = len(st.offsets)
     iodt = xc.dtype  # wext/strips match by the callers' contract
-    contract, bdt = _resolve_contract_dtype(B * Fin * Fout * K, iodt)
-    wkT = jnp.transpose(wk3, (0, 2, 1))  # (K, Fout, Fin) for the dot path
-    n, h, R, P, Tr, Sd = _band_geometry(st, C, Cout, bdt=bdt, iodt=iodt)
-    if contract == "dot":
-        # upgrade to the stacked contraction when the K retained center
-        # slices fit on top of the band working set (see _stencil_kernel)
-        bb = 2 if bdt == jnp.bfloat16 else 4
-        ib = 2 if iodt == jnp.bfloat16 else 4
-        radius = getattr(st, "radius", 1) or 1
-        budget = _vmem_budget(0 if radius <= 1 else 1)
-        est = _vmem_est(Tr, R, P, C, Cout, nplanes, 2, bb, ib)
-        if est + K * C * Tr * P * bb > budget:
-            # retained centers don't fit at the default band: shrink the
-            # band with the K retained centers folded into the estimate
-            # (plain per-term dot is NOT a safe fallback at large P — at
-            # nside=1024 C=16 Mosaic spills 164M of vregs and the compile
-            # VMEM-OOMs at 215M/128M, measured on-chip round 4)
-            n, h, R, P, Tr, Sd = _band_geometry(st, C, Cout, bdt=bdt,
-                                                iodt=iodt,
-                                                extra_band_temps=K)
-            est = _vmem_est(Tr, R, P, C, Cout, nplanes, 2, bb, ib)
-        if est + K * C * Tr * P * bb <= budget:
-            contract = "dots"
-            wkT = jnp.transpose(wk3, (2, 0, 1)).reshape(Fout, K * Fin)
+    contract, bdt, (n, h, R, P, Tr, Sd) = fwd_contract_plan(
+        st, B, Fin, Fout, K, iodt)
+    wkT = (jnp.transpose(wk3, (2, 0, 1)).reshape(Fout, K * Fin)
+           if contract == "dots"
+           else jnp.transpose(wk3, (0, 2, 1)))  # (K, Fout, Fin) for 'dot'
 
     kernel = partial(_stencil_kernel, kind, K, st.radius, contract, bdt, n,
                      h, R, Tr, Sd, P, C, Cout, B, Fin, Fout)
@@ -1003,9 +1042,12 @@ def _run_dxdw_kernel(st, kind, n_terms, dy, wext, strips, wk3t, xr, B,
     # the unrolled term loop; at Tr=64/P=1280 Mosaic spills 102M of vregs
     # and the compile VMEM-OOMs (139M/128M, measured on-chip round 4).
     # Folding ~K extra band temps into the estimate shrinks the band until
-    # the unrolled live set fits.  Auto-dot configs (unroll > 1024 means
-    # large C) already land on tiny bands, so this only changes forced-dot
-    # A/B runs and large-channel + large-nside corners.
+    # the unrolled live set fits.  Affected configs: forced-dot A/B runs,
+    # large-channel + large-nside corners, AND default bf16 band-mode
+    # backwards (auto routes bf16 to 'dot', _resolve_contract_dtype) —
+    # though with band_bytes=2 the bf16 estimate shrinks half as fast, and
+    # the budget class stays radius-derived (budget_lap_temps, ADVICE r4
+    # #1/#3), so radius-1 bf16 runs size against the full 127 MiB envelope.
     n, h, R, P, Tr, Sd = _band_geometry(
         st, C, Cout, io_blocks=4, bdt=bdt, iodt=iodt,
         extra_band_temps=K if contract == "dot" else 0)

@@ -171,6 +171,45 @@ def test_smoothing_layer(rng):
     assert y[0, :, 0].std() < x[0, :, 0].std()
 
 
+def test_smoothing_in_layer_list(rng):
+    """HealpySmoothing(sigma=...) directly inside a HealpyGCNN layer list
+    (VERDICT r4 #8a): the assembler supplies nside/indices of the current
+    resolution, and the result matches the explicitly-built operator."""
+    import jax
+
+    import deepsphere_tpu as ds
+    from deepsphere_tpu.nn import healpy_layers as hp_nn
+    from deepsphere_tpu.nn.smoothing import SmoothingOperator
+
+    nside = 8
+    npix = hp.nside2npix(nside)
+    x = rng.normal(size=(2, npix, 1)).astype(np.float32)
+
+    model = ds.HealpyGCNN(nside=nside, indices=np.arange(npix), layers=[
+        hp_nn.HealpyPool(p=1),
+        hp_nn.HealpySmoothing(sigma=600.0),  # deferred: nside=4 inferred
+    ])
+    model.build((2, npix, 1))
+    y = np.asarray(model(jnp.asarray(x)))
+
+    # explicit reference: pool, then smooth with a hand-built operator at
+    # the pooled resolution
+    pooled = x.reshape(2, npix // 4, 4, 1).max(axis=2)  # MAX default
+    op = SmoothingOperator(nside=4, indices=np.arange(npix // 4),
+                           sigma=600.0)
+    lay = hp_nn.HealpySmoothing(operator=op)
+    v = lay.init(jax.random.key(0), jnp.asarray(pooled))
+    want = np.asarray(lay.apply(v, jnp.asarray(pooled)))
+    np.testing.assert_allclose(y, want, atol=1e-5)
+
+    # reference constructor surface: explicit nside/indices build eagerly
+    eager = hp_nn.HealpySmoothing(nside=4, indices=np.arange(npix // 4),
+                                  sigma=600.0)
+    v2 = eager.init(jax.random.key(0), jnp.asarray(pooled))
+    got2 = np.asarray(eager.apply(v2, jnp.asarray(pooled)))
+    np.testing.assert_allclose(got2, want, atol=1e-6)
+
+
 def test_internal_layout_equivalence_with_bn(rng):
     """The cface internal layout (native padded conv chains) must match the
     nest plan exactly — including train-mode BatchNorm statistics, which in

@@ -441,8 +441,9 @@ def test_sharded_autoencoder_matches_single(rng):
 def test_transformer_model_under_mesh(rng):
     """Attention layers under the mesh (VERDICT r2 #8): a model mixing a
     pixel-shardable conv with a GraphTransformer builds and runs with a
-    ShardConfig — the transformer stays REPLICATED over the pixel axis
-    (documented fallback; edge-partitioned segment-sum is future work)
+    ShardConfig — the transformer's edge attention runs PIXEL-SHARDED
+    (dst-partitioned edge chunks, local segment sums, one k/v all_gather;
+    parallel.attention_sharded)
     while DP comes free through XLA SPMD — and matches the unsharded
     model; a batch-sharded jit forward partitions by data parallelism."""
     import deepsphere_tpu as ds
@@ -483,3 +484,74 @@ def test_transformer_model_under_mesh(rng):
         jax.jit(lambda vv, xx: m_plain.module.apply(vv, xx))(v, xs)
     )
     assert np.abs(y_dp - y_ref).max() < 1e-5
+
+
+def test_pixel_sharded_edge_attention_matches_replicated(rng):
+    """Op-level: dst-partitioned sharded attention (VERDICT r4 #4) equals
+    the replicated edge_sparse_attention — forward AND gradients — with
+    the attention arrays genuinely pixel-sharded (checked via the jit
+    output sharding)."""
+    from deepsphere_tpu.ops.attention import edge_sparse_attention
+    from deepsphere_tpu.parallel.attention_sharded import (
+        partition_edges_by_dst, sharded_edge_attention)
+
+    g = build_sphere_graph(4, k=8)
+    M = g.n_pixels
+    edge_idx = g.edge_idx
+    B, H, D = 4, 2, 3
+    q = rng.normal(size=(B, H, M, D)).astype(np.float32)
+    k = rng.normal(size=(B, H, M, D)).astype(np.float32)
+    v = rng.normal(size=(B, H, M, D)).astype(np.float32)
+
+    y_ref = np.asarray(edge_sparse_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(edge_idx), M))
+
+    mesh = make_mesh(shape=(2, 4), axis_names=("data", "pixel"))
+    cfg = ShardConfig(mesh=mesh)
+    parts, emask = partition_edges_by_dst(edge_idx, M, 4)
+    # per-shard chunks cover every edge exactly once
+    assert int(emask.sum()) == len(edge_idx)
+
+    f = jax.jit(lambda q, k, v, p, m: sharded_edge_attention(
+        q, k, v, p, m, cfg))
+    out = f(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(parts), jnp.asarray(emask))
+    # the output (and hence the per-edge arrays feeding it) is sharded on
+    # the pixel axis, not replicated
+    spec = out.sharding.spec
+    assert "pixel" in tuple(spec), spec
+    np.testing.assert_allclose(np.asarray(out), y_ref, atol=1e-5)
+
+    # gradients through the shard_map (all_gather -> reduce_scatter VJP)
+    def loss_sharded(q, k, v):
+        y = sharded_edge_attention(q, k, v, jnp.asarray(parts),
+                                   jnp.asarray(emask), cfg)
+        return jnp.sum(y * y)
+
+    def loss_rep(q, k, v):
+        y = edge_sparse_attention(q, k, v, jnp.asarray(edge_idx), M)
+        return jnp.sum(y * y)
+
+    gs = jax.grad(loss_sharded, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    gr = jax.grad(loss_rep, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    for a, b in zip(gs, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_partition_edges_by_dst_padding():
+    """Uneven per-shard edge counts pad with masked edges; local dst stays
+    in range."""
+    from deepsphere_tpu.parallel.attention_sharded import \
+        partition_edges_by_dst
+
+    edges = np.array([[0, 1], [0, 2], [1, 0], [2, 3], [3, 0], [3, 1],
+                      [3, 2]])
+    parts, mask = partition_edges_by_dst(edges, num_nodes=4, n_shards=2)
+    assert parts.shape == (2, 4, 2) and mask.shape == (2, 4, 1)
+    assert mask.sum() == 7
+    assert parts[:, :, 0].max() < 2  # local dst < m
+    # shard 1 dsts 2,3 -> local 0,1
+    assert parts[1, 0, 0] == 0 and parts[1, 1, 0] == 1

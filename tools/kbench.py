@@ -91,6 +91,15 @@ def main():
     tables = jax.device_put(stencil_tables(st, bf16_io=io_mode))
     if kb_dtype != "float32":
         print(f"band mode     : {kb_dtype}")
+    # effective per-kernel strategy (ADVICE r4 #4): a forced 'dot' may
+    # silently upgrade to the stacked 'dots' or fall back to axpy, and the
+    # dW kernel resolves its own plan — echo what will actually run
+    eff_c, eff_bdt, eff_geom = ps.fwd_contract_plan(
+        st, BATCH, FIN, FOUT, K,
+        jnp.bfloat16 if io_mode else jnp.float32)
+    print(f"fwd plan      : contract={eff_c} "
+          f"band={'bf16' if eff_bdt == jnp.bfloat16 else 'f32'} "
+          f"Tr={eff_geom[4]}")
 
     maps = lambda dt: BATCH / dt
     results = {}
