@@ -99,6 +99,7 @@ STAGES = [
     ("gather", "1", 120.0),
     ("bf16", "0", 700.0),
     ("bf16_io", "0", 700.0),
+    ("n2048", "0", 1200.0),
 ]
 
 
@@ -562,6 +563,95 @@ def stage_smooth(extra):
     _bank(extra)
 
 
+def stage_n2048(extra):
+    """Opt-in (BENCH_N2048=1): one measured nside=2048 configuration —
+    the regime the bf16-I/O memory ladder was designed for (SCALING.md's
+    projections; VERDICT r4 #7 asks for numbers).  Batch 1, f32 and (when
+    the geometry allows) bf16 HBM I/O."""
+    jax = _jax()
+    import jax.numpy as jnp
+
+    import deepsphere_tpu.config as ds_config
+    from deepsphere_tpu.graph import build_sphere_graph
+    from deepsphere_tpu.ops.pallas_stencil import cfp_geometry, cfp_io_available
+    from deepsphere_tpu.ops.stencil import (stencil_graph_conv_cface,
+                                            stencil_tables)
+
+    cache = _cache_dir()
+    n = 2048
+    batch = int(os.environ.get("BENCH_N2048_BATCH", 1))
+    t0 = time.time()
+    graph = build_sphere_graph(n, k=8, method="grid", cache_dir=cache)
+    st = graph.face_stencil(0.75, n_steps=K - 1)
+    extra["n2048_build_s"] = round(time.time() - t0, 1)
+    _bank(extra)
+
+    kernel = jnp.asarray(
+        np.random.RandomState(0).normal(scale=0.1, size=(FIN * K, FOUT)),
+        dtype=jnp.float32,
+    )
+    h = K - 1
+    _, P_l = cfp_geometry(n, h)
+    # build the cface activation directly on device (a host (B,M,F) array
+    # at nside=2048 is 800 MB through the tunnel)
+    xc = jax.block_until_ready(jax.jit(
+        lambda key: jax.random.normal(key, (batch * FIN, 12, n, P_l),
+                                      jnp.float32))(jax.random.key(0)))
+    st_tables = jax.device_put(stencil_tables(st))
+
+    @jax.jit
+    def conv(tables, xc, kernel):
+        return stencil_graph_conv_cface(st, xc, kernel, K, "cheby",
+                                        tables=tables)
+
+    def readback(z):
+        np.asarray(z[(0,) * z.ndim])
+
+    z = conv(st_tables, xc, kernel)
+    readback(z)
+    for _ in range(2):
+        z = conv(st_tables, z, kernel)
+    readback(z)
+    t0 = time.time()
+    n_it = 10
+    for _ in range(n_it):
+        z = conv(st_tables, z, kernel)
+    readback(z)
+    dt = (time.time() - t0) / n_it
+    extra["n2048_step_ms"] = round(dt * 1e3, 2)
+    extra["n2048_maps_per_s"] = round(batch / dt, 2)
+    extra["n2048_batch"] = batch
+    _bank(extra)
+    del z
+
+    if cfp_io_available(st):
+        ds_config.set_conv_dtype("bfloat16_io")
+        try:
+            tbl_io = jax.device_put(stencil_tables(st, bf16_io=True))
+            xh = xc.astype(jnp.bfloat16)
+            del xc
+
+            @jax.jit
+            def conv_io(tables, xc, kernel):
+                return stencil_graph_conv_cface(st, xc, kernel, K, "cheby",
+                                                tables=tables)
+
+            z = conv_io(tbl_io, xh, kernel)
+            readback(z)
+            for _ in range(2):
+                z = conv_io(tbl_io, z, kernel)
+            readback(z)
+            t0 = time.time()
+            for _ in range(n_it):
+                z = conv_io(tbl_io, z, kernel)
+            readback(z)
+            dt = (time.time() - t0) / n_it
+            extra["n2048_bf16_io_step_ms"] = round(dt * 1e3, 2)
+        finally:
+            ds_config.set_conv_dtype("float32")
+        _bank(extra)
+
+
 def _bf16_stage(extra, io_mode):
     jax = _jax()
     import jax.numpy as jnp
@@ -658,6 +748,7 @@ STAGE_FNS = {
     "smooth": stage_smooth,
     "bf16": stage_bf16,
     "bf16_io": stage_bf16_io,
+    "n2048": stage_n2048,
 }
 
 

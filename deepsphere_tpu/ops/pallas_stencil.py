@@ -671,7 +671,8 @@ def _grad_kernel(kind, K, radius, contract, bdt, n, h, R, Tr, Sd, P, C,
 
 def _dxdw_kernel(kind, K, radius, contract, bdt, n, h, R, Tr, Sd, P, C,
                  Cout, B, Fin, Fout, wk_ref, wkT_ref, xc_ref, w_ref, top_ref,
-                 bot_ref, ls_ref, xr_ref, out_ref, dw_ref, xw, ww, ss, sems):
+                 bot_ref, ls_ref, xr_ref, mask_ref, out_ref, dw_ref, xw, ww,
+                 ss, sems):
     """dx AND dW in one band pass over dy (the adjoint trick: L~ is
     symmetric, so dW[k] = <T_k(L~) x, dy> = <x, T_k(L~) dy> — the same
     recursion terms this dx pass already materializes in VMEM.  The
@@ -692,9 +693,11 @@ def _dxdw_kernel(kind, K, radius, contract, bdt, n, h, R, Tr, Sd, P, C,
     w = ww[slot].astype(bdt)
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (Tr, P), 1)
-    interior = (lane >= h) & (lane < h + n)
-    xr = jnp.where(interior[None], xr_ref[:, 0], 0.0)  # (Cout, Tr, P)
+    # mask selects the interior lanes AND zeroes the corrupt corner rows
+    # (built once in stencil_tables; doing the corrupt-row zeroing here
+    # instead of on the full x array outside saved a whole-map XLA input
+    # copy, ~2.4 ms at nside=1024)
+    xr = jnp.where(mask_ref[0] > 0, xr_ref[:, 0], 0.0)  # (Cout, Tr, P)
 
     prec = (config.precision() if bdt == jnp.float32
             else jax.lax.Precision.DEFAULT)
@@ -1019,14 +1022,15 @@ def _run_grad_kernel(st, kind, n_terms, xc, wext, strips, dy, B, Fin,
     )(xc, wext, *strips, dy)
 
 
-def _run_dxdw_kernel(st, kind, n_terms, dy, wext, strips, wk3t, xr, B,
+def _run_dxdw_kernel(st, kind, n_terms, dy, wext, strips, wk3t, xr, mask, B,
                      interpret):
     """Fused dx+dW pallas_call (see :func:`_dxdw_kernel`).
 
     dy: (C, F, n, P) cotangent in the native layout; strips: halo strips
     of dy; wk3t: (K, Fout_orig, Fin_orig) per-term transposed channel
-    kernel (the dx pass's wk3); xr: forward input x (Cout, F, n, P) with
-    corrupt rows zeroed.  Returns
+    kernel (the dx pass's wk3); xr: forward input x (Cout, F, n, P),
+    NOT pre-masked; mask: (F, n, P) interior/corrupt-row selector
+    (``stencil_tables(...)['dw_mask']``) applied in-kernel.  Returns
     (dx (Cout, F, n, P), dwk (K*Fin_orig, Fout_orig)).
     """
     C = dy.shape[0]
@@ -1051,6 +1055,15 @@ def _run_dxdw_kernel(st, kind, n_terms, dy, wext, strips, wk3t, xr, B,
     n, h, R, P, Tr, Sd = _band_geometry(
         st, C, Cout, io_blocks=4, bdt=bdt, iodt=iodt,
         extra_band_temps=K if contract == "dot" else 0)
+    tr_env = os.environ.get("DS_DXDW_TR")
+    if tr_env:
+        # measurement override (tools/probe_dxdw_tr.py): force the band
+        # height past the conservative estimate to probe Mosaic's actual
+        # VMEM use — a compile OOM here can fault the worker, so only use
+        # from a sacrificial subprocess
+        Tr = int(tr_env)
+        assert n % Tr == 0 and Tr >= R, (Tr, n, R)
+        Sd = Tr + 2 * R
 
     kernel = partial(_dxdw_kernel, kind, K, st.radius, contract, bdt, n, h,
                      R, Tr, Sd, P, C, Cout, B, Fin, Fout)
@@ -1065,6 +1078,10 @@ def _run_dxdw_kernel(st, kind, n_terms, dy, wext, strips, wk3t, xr, B,
         + [
             pl.BlockSpec(
                 (Cout, 1, Tr, P), lambda f, i: (0, f, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, Tr, P), lambda f, i: (f, i, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -1092,7 +1109,7 @@ def _run_dxdw_kernel(st, kind, n_terms, dy, wext, strips, wk3t, xr, B,
             vmem_limit_bytes=128 * 2**20,
         ),
         interpret=interpret,
-    )(wk3t, wkT, dy, wext, *strips, xr)
+    )(wk3t, wkT, dy, wext, *strips, xr, mask)
 
 
 # ---------------------------------------------------------------------------
@@ -1242,6 +1259,29 @@ def _patch_corrections(st, y, y_fix):
     return y
 
 
+def _dw_mask_graph(st, dtype):
+    """(12, n, P_l) selector for the fused dx+dW kernel's x stream: 1 on
+    interior lanes, 0 on halo/pad lanes AND on the corrupt corner rows.
+    Built in-graph per backward call (one 56 MB broadcast + O(corners)
+    static patches at nside=1024, ~0.1 ms) — applying it INSIDE the kernel
+    replaced the ``_zero_corrections`` pass on the full x array, whose
+    first ``.at[].set`` on a jit input forced a whole-map copy."""
+    n, h = st.nside, st.n_steps
+    _, P = cfp_geometry(n, h)
+    lane = jnp.arange(P)
+    row = ((lane >= h) & (lane < h + n)).astype(dtype)
+    m = jnp.broadcast_to(row[None, None, :], (12, n, P))
+    if int(np.asarray(st.corr_src).shape[0]):
+        for face, x0, y0, sel in _corr_patches(st):
+            selj = jnp.asarray(sel)
+            rx, ry = sel.shape
+            l0 = y0 + h
+            patch = m[face, x0 : x0 + rx, l0 : l0 + ry]
+            patch = jnp.where(selj >= 0, jnp.zeros_like(patch), patch)
+            m = m.at[face, x0 : x0 + rx, l0 : l0 + ry].set(patch)
+    return m
+
+
 def _zero_corrections(st, dy):
     """Zero the corrupt rows of dy (Cout, 12, n, P_l) via the same static
     corner patches (scatter-free)."""
@@ -1364,6 +1404,12 @@ def fused_stencil_conv_cfp(st: FaceStencil, tables, xc, kernel, n_terms,
             .reshape(Fout * n_terms, Fin)
         )
         has_corr = bool(tables["corr_src"].shape[0])
+        if os.environ.get("DS_SKIP_CORR") == "1":
+            # measurement-only bisection hook (tools/probe_dxdw_tr.py):
+            # quantifies what the corner-correction passes cost the
+            # backward.  NUMERICALLY WRONG at corner rows — never set in
+            # production.
+            has_corr = False
         wext = _io_weights(st, tables, iodt)
 
         if config.fused_dw:
@@ -1378,10 +1424,12 @@ def fused_stencil_conv_cfp(st: FaceStencil, tables, xc, kernel, n_terms,
             )  # (K, Fout_orig, Fin_orig)
             dyf = dy
             dy_strips = build_strips(st, dyf, interpret)
-            xr = _zero_corrections(st, xcf) if has_corr else xcf
+            # interior + corrupt-row selection happens IN the kernel via
+            # the mask plane (see _dw_mask_graph)
+            mask = _dw_mask_graph(st, iodt)
             dx, dwk2 = _run_dxdw_kernel(
-                st, kind, n_terms, dyf, wext, dy_strips, wk3t, xr, B,
-                interpret,
+                st, kind, n_terms, dyf, wext, dy_strips, wk3t, xcf, mask,
+                B, interpret,
             )
             if has_corr:
                 dx_fix = _corrected_rows(st, tables, dyf, wk3t, n_terms,

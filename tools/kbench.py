@@ -6,7 +6,9 @@ transposes + strip builds + corner correction), at the headline shape
 family: K=5 Chebyshev, Fin=Fout=4, batch 4.
 
 Usage:  python tools/kbench.py [nside]
-Env:    KB_K, KB_FIN, KB_FOUT, KB_BATCH override the shape family;
+Env:    KB_ONLY=comma,list limits the measurements (full_conv, conv_cfp,
+        strips, kernel_fwd, kernel_dw, fwd_dx_dw);
+        KB_K, KB_FIN, KB_FOUT, KB_BATCH override the shape family;
         KB_DTYPE=bfloat16 measures the bf16 band mode (config.conv_dtype);
         KB_DTYPE=bfloat16_io measures the bf16 HBM-I/O mode (stage B:
         bf16 activations/strips/planes/output, halved DMA bytes);
@@ -103,17 +105,21 @@ def main():
 
     maps = lambda dt: BATCH / dt
     results = {}
+    only = os.environ.get("KB_ONLY")
+    only = set(only.split(",")) if only else None
+    want = lambda name: only is None or name in only
 
     # full conv (face layout), as bench.py measures
-    @jax.jit
-    def conv_full(tables, x, kernel):
-        return stencil_graph_conv(st, x, kernel, K, "cheby", tables=tables,
-                                  layout="face")
+    if want("full_conv"):
+        @jax.jit
+        def conv_full(tables, x, kernel):
+            return stencil_graph_conv(st, x, kernel, K, "cheby",
+                                      tables=tables, layout="face")
 
-    dt = timed(conv_full, tables, x, kernel,
-               chain=lambda a, out: (a[0], out, a[2]))
-    results["full_conv"] = dt
-    print(f"full conv     : {dt*1e3:8.2f} ms   {maps(dt):8.1f} maps/s")
+        dt = timed(conv_full, tables, x, kernel,
+                   chain=lambda a, out: (a[0], out, a[2]))
+        results["full_conv"] = dt
+        print(f"full conv     : {dt*1e3:8.2f} ms   {maps(dt):8.1f} maps/s")
 
     # native-layout (cfp) conv with custom VJP, as a conv chain runs it
     @jax.jit
@@ -126,10 +132,11 @@ def main():
     )
     if io_mode:  # HBM activations in bf16, as a bf16-I/O conv chain runs
         xc = jax.block_until_ready(xc.astype(jnp.bfloat16))
-    dt = timed(conv_cfp, tables, xc, kernel,
-               chain=lambda a, out: (a[0], out, a[2]))
-    results["conv_cfp"] = dt
-    print(f"conv cfp      : {dt*1e3:8.2f} ms   {maps(dt):8.1f} maps/s")
+    if want("conv_cfp"):
+        dt = timed(conv_cfp, tables, xc, kernel,
+                   chain=lambda a, out: (a[0], out, a[2]))
+        results["conv_cfp"] = dt
+        print(f"conv cfp      : {dt*1e3:8.2f} ms   {maps(dt):8.1f} maps/s")
 
     # kernel only: prebuilt strips + weight planes, bare pallas_call
     wk3 = jnp.transpose(kernel.reshape(FIN, K, FOUT), (1, 0, 2))
@@ -141,18 +148,20 @@ def main():
         return ps._strip_arrays(st, xc)
 
     strips = jax.block_until_ready(strips_only(xc))
-    dt = timed(strips_only, xc)
-    results["strips"] = dt
-    print(f"strip build   : {dt*1e3:8.2f} ms")
+    if want("strips"):
+        dt = timed(strips_only, xc)
+        results["strips"] = dt
+        print(f"strip build   : {dt*1e3:8.2f} ms")
 
     @jax.jit
     def kern_only(xc, wext, strips, wk3):
         return ps._run_stencil_kernel(st, "cheby", K, xc, wext, strips, wk3,
                                       BATCH, interpret)
 
-    dt = timed(kern_only, xc, wext, strips, wk3)
-    results["kernel_fwd"] = dt
-    print(f"kernel fwd    : {dt*1e3:8.2f} ms   {maps(dt):8.1f} maps/s")
+    if want("kernel_fwd"):
+        dt = timed(kern_only, xc, wext, strips, wk3)
+        results["kernel_fwd"] = dt
+        print(f"kernel fwd    : {dt*1e3:8.2f} ms   {maps(dt):8.1f} maps/s")
 
     # dW kernel (same band windows, scalar contractions); dy must be a
     # true (BATCH*FOUT, ...) cotangent — slicing xc would silently clamp
@@ -168,9 +177,10 @@ def main():
         return ps._run_grad_kernel(st, "cheby", K, xc, wext, strips, dy,
                                    BATCH, FIN, interpret)
 
-    dt = timed(grad_only, xc, wext, strips, dy)
-    results["kernel_dw"] = dt
-    print(f"kernel dW     : {dt*1e3:8.2f} ms")
+    if want("kernel_dw"):
+        dt = timed(grad_only, xc, wext, strips, dy)
+        results["kernel_dw"] = dt
+        print(f"kernel dW     : {dt*1e3:8.2f} ms")
 
     # full train-ish step: value+grad through the cfp conv
     @jax.jit
@@ -183,10 +193,11 @@ def main():
         l, (dx, dk) = jax.value_and_grad(loss, argnums=(0, 1))(xc, kernel)
         return l, dx, dk
 
-    dt = timed(vjp_step, tables, xc, kernel,
-               chain=lambda a, out: (a[0], out[1], a[2]))
-    results["fwd_dx_dw"] = dt
-    print(f"fwd+dx+dW     : {dt*1e3:8.2f} ms   {maps(dt):8.1f} maps/s")
+    if want("fwd_dx_dw"):
+        dt = timed(vjp_step, tables, xc, kernel,
+                   chain=lambda a, out: (a[0], out[1], a[2]))
+        results["fwd_dx_dw"] = dt
+        print(f"fwd+dx+dW     : {dt*1e3:8.2f} ms   {maps(dt):8.1f} maps/s")
 
     return results
 
