@@ -650,13 +650,13 @@ def _grad_kernel(kind, K, radius, contract, bdt, n, h, R, Tr, Sd, P, C,
                 for fo in range(Fout):
                     s = None
                     for b in range(B):
-                        c = jnp.sum(
-                            (ctr[b * Fin + fi] * dy[b * Fout + fo])
-                            .astype(jnp.float32),
-                            keepdims=True,
+                        c = (ctr[b * Fin + fi] * dy[b * Fout + fo]).astype(
+                            jnp.float32
                         )
                         s = c if s is None else s + c
-                    cells.append(s)
+                    # accumulate the B products elementwise, reduce once
+                    # per cell (see _dxdw_kernel: 4x fewer reduce passes)
+                    cells.append(jnp.sum(s, keepdims=True))
                 rows.append(jnp.concatenate(cells, axis=1))
         block = jnp.concatenate(rows, axis=0).astype(out_ref.dtype)
 
@@ -743,13 +743,16 @@ def _dxdw_kernel(kind, K, radius, contract, bdt, n, h, R, Tr, Sd, P, C,
                 for fc in range(Fin):  # recursion features (Fout_orig)
                     s = None
                     for b in range(B):
-                        c = jnp.sum(
-                            (xr[b * Fout + fx] * ctr[b * Fin + fc])
-                            .astype(jnp.float32),
-                            keepdims=True,
+                        c = (xr[b * Fout + fx] * ctr[b * Fin + fc]).astype(
+                            jnp.float32
                         )
                         s = c if s is None else s + c
-                    cells.append(s)
+                    # one (Tr, P) reduction per (fx, fc) cell instead of
+                    # one per product: reduce-pass count drops from
+                    # K*B*Fin*Fout to K*Fin*Fout (320 -> 80 at the
+                    # headline shape); products accumulate elementwise
+                    # in f32 first (bitwise-identical sum order per lane)
+                    cells.append(jnp.sum(s, keepdims=True))
                 rows.append(jnp.concatenate(cells, axis=1))
             dwb.append(jnp.concatenate(rows, axis=0))
 
