@@ -92,11 +92,11 @@ STAGE_END = "BENCH-STAGE-END "
 # extra session-init penalty.  The first stage's cap absorbs the session
 # init of the happy path.
 STAGES = [
-    ("core", "1", 800.0),
-    ("model", "1", 420.0),
-    ("k20", "1", 280.0),
-    ("smooth", "1", 240.0),
-    ("gather", "1", 120.0),
+    ("core", "1", 650.0),
+    ("model", "1", 560.0),
+    ("k20", "1", 330.0),
+    ("smooth", "1", 260.0),
+    ("gather", "1", 90.0),
     ("bf16", "0", 700.0),
     ("bf16_io", "0", 700.0),
     ("n2048", "0", 1200.0),
@@ -285,23 +285,24 @@ def stage_core(extra):
         extra["train_step_error"] = str(e)[:160]
     _bank(extra)
 
-    # face-flat wrapper comparison LAST: it is a diagnostic extra (how much
-    # the NEST<->cface conversion costs when paid per call), so it is the
-    # right casualty if the stage cap lands mid-core — round 4's rehearsal
-    # showed the 900 s cap covers setup + fwd + one more big compile, not
-    # three (train_step_ms lost to the face-flat compile that preceded it)
-    @jax.jit
-    def conv_stencil(tables, x, kernel):
-        return stencil_graph_conv(
-            st, x, kernel, K, "cheby", tables=tables, layout="face"
-        )
+    # face-flat wrapper comparison: a diagnostic extra (how much the
+    # NEST<->cface conversion costs when paid per call) whose ~170 s
+    # compile repeatedly crowded out whole stages on slow-compile days
+    # (round-4 artifact, round-5 rehearsal) — opt-in now; last banked
+    # measurement 33.79 ms (round-5 rehearsal, vs 12.56 ms native cfp)
+    if os.environ.get("BENCH_FACE_FLAT") == "1":
+        @jax.jit
+        def conv_stencil(tables, x, kernel):
+            return stencil_graph_conv(
+                st, x, kernel, K, "cheby", tables=tables, layout="face"
+            )
 
-    try:
-        dt_f = _time(conv_stencil, st_tables, x, kernel, n_iters=5)
-        extra["face_flat_step_ms"] = round(dt_f * 1e3, 2)
-    except Exception as e:
-        extra["face_flat_error"] = str(e)[:160]
-    _bank(extra)
+        try:
+            dt_f = _time(conv_stencil, st_tables, x, kernel, n_iters=5)
+            extra["face_flat_step_ms"] = round(dt_f * 1e3, 2)
+        except Exception as e:
+            extra["face_flat_error"] = str(e)[:160]
+        _bank(extra)
 
 
 def stage_gather(extra):
@@ -797,11 +798,27 @@ _CRASH_SIGNATURES = ("UNAVAILABLE", "worker process crashed", "kernel fault",
                      "DEADLINE_EXCEEDED")
 
 
-def _stage_deadline(cap):
-    """Effective per-stage deadline: its cap, clamped to the remaining
-    global budget (minus final-print headroom)."""
+# nominal wall-clock of a stage whose executables are warm in the remote
+# compile server's cache (measured ~17 s/compile warm + measurement loop)
+WARM_STAGE_S = 120.0
+
+
+def _stage_deadline(cap, n_pending=0):
+    """Effective per-stage deadline.
+
+    Per-stage caps turned out to be counterproductive on slow-compile days
+    (round-5 rehearsals: killing a stage mid-compile costs the NEXT child a
+    fresh ~300 s remote-compile session init, cascading one slow compile
+    into losing every later stage).  The deadline is therefore SOFT: a
+    stage may run past its cap as long as the remaining global budget
+    still reserves a nominal warm-cache slot (``WARM_STAGE_S``) for each
+    pending stage.  Warm-path runs finish far under their caps, so this
+    only changes behavior when compiles are slow — where letting the
+    compile finish both banks the stage and seeds the server cache for
+    the driver's next run."""
     remaining = BUDGET_S - (time.time() - _T0)
-    return min(cap, max(remaining - 30, MIN_STAGE_S))
+    soft = max(cap, remaining - n_pending * WARM_STAGE_S - 30)
+    return min(soft, max(remaining - 30, MIN_STAGE_S))
 
 
 def _run_stages_child(stage_caps, extra, env_extra=None):
@@ -847,7 +864,7 @@ def _run_stages_child(stage_caps, extra, env_extra=None):
     completed = []
     current = None
     t_stage = time.time()
-    deadline = _stage_deadline(caps[names[0]])
+    deadline = _stage_deadline(caps[names[0]], len(names) - 1)
     crashed = False
     eof = False
     while not eof:
@@ -865,7 +882,9 @@ def _run_stages_child(stage_caps, extra, env_extra=None):
         elif line.startswith(STAGE_START):
             current = line[len(STAGE_START):].strip()
             t_stage = time.time()
-            deadline = _stage_deadline(caps.get(current, 300.0))
+            n_pending = (len(names) - 1 - names.index(current)
+                         if current in names else 0)
+            deadline = _stage_deadline(caps.get(current, 300.0), n_pending)
             print(f"[bench] stage {current}: started "
                   f"(deadline {deadline:.0f}s)", file=sys.stderr, flush=True)
         elif line.startswith(STAGE_END):
