@@ -294,7 +294,17 @@ class _GraphPolyConv(nn.Module):
                 # path elsewhere.  The choice is platform-independent so a
                 # model initialized on CPU applies unchanged on TPU.
                 if self._basis_kind in ("cheby", "mono") and n_terms >= 2:
-                    st = self.graph.deep_stencil(self._scale, n_terms)
+                    r = self.graph.stencil_radius
+                    if r is not None and r >= 3 and n_terms > 2:
+                        # deep-radius graphs (k=40/60): the one-shot fused
+                        # kernel's h = r*(K-1) window is measured slower
+                        # than per-step execution (PERFORMANCE.md r4), so
+                        # build the SHALLOW (n_steps == radius) stencil —
+                        # ops.stencil.lap_chain_conv chains single-lap
+                        # fused kernels on it (per-step XLA elsewhere)
+                        st = self.graph.face_stencil(self._scale)
+                    else:
+                        st = self.graph.deep_stencil(self._scale, n_terms)
                 if st is None:
                     st = self.graph.face_stencil(self._scale)
                 if st is None and self.conv_method == "stencil":

@@ -127,14 +127,19 @@ def fused_available(st: FaceStencil, kind, n_terms):
     if mode == "compile" and st.n_steps > 8 and st.n_steps % 8:
         return False
     if (mode == "compile" and (getattr(st, "radius", 1) or 1) >= 3
-            and not os.environ.get("DS_ALLOW_FUSED_R3")):
+            and n_terms > 2 and not os.environ.get("DS_ALLOW_FUSED_R3")):
         # PERFORMANCE gate, not a fault gate (round 4): radius >= 3 runs
         # correctly fused after the sublane-tile padding (k=40@128 err
-        # 7.2e-7, k=60@128 err 4.8e-7 on chip) but the (2r+1)^2 tap planes
-        # + per-lap roll temporaries shrink the band to Tr=8-16 and the
-        # fused form measures ~2.7x SLOWER than the per-step XLA stencil
-        # (k=40@128 K=5: 30.92 ms fused vs 11.43 ms XLA; k=60@128:
-        # 40.08 ms fused).  Radius <= 2 stays fused (it wins there).
+        # 7.2e-7, k=60@128 err 4.8e-7 on chip) but the deep ONE-SHOT form
+        # (h = r*(K-1), all K laps in one launch) materializes (2r+1)^2
+        # tap planes + per-lap roll temporaries that shrink the band and
+        # measures ~2.7x SLOWER than the per-step XLA stencil (k=40@128
+        # K=5: 30.92 ms fused vs 11.43 ms XLA; k=60@128: 40.08 ms fused).
+        # Radius <= 2 stays fused (it wins there).  SINGLE-LAP launches
+        # (n_terms == 2, h == r) are exempt: they carry no deep window and
+        # measured fast on-chip (radius-3 single lap 2.72 ms @ nside=64,
+        # tools/probe_r3_constructs.py) — the lap-chain conv
+        # (ops.stencil.lap_chain_conv) builds deep-k convs out of them.
         return False
     # NOTE: the 8 here is the f32 sublane count, and only f32 I/O configs
     # were bisected on hardware.  Under bfloat16_io the window margin

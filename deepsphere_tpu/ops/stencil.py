@@ -391,6 +391,14 @@ def stencil_graph_conv(st: FaceStencil, x, kernel, n_terms, kind, tables=None,
     n = st.nside
     if M != 12 * n * n:
         raise ValueError(f"stencil conv needs the full sphere ({12*n*n} pixels), got {M}")
+    r = getattr(st, "radius", 1) or 1
+    if (fused != "never" and n_terms > 2 and r >= 3 and st.n_steps == r
+            and lap_chain_available(st, kind, n_terms)):
+        # deep-radius graphs (k=40/60) on a SHALLOW stencil: chain
+        # single-lap fused kernels instead of per-step XLA slices (the
+        # one-shot deep-window fused form is measured slower at r >= 3)
+        return lap_chain_conv(st, x, kernel, n_terms, kind, tables=tables,
+                              layout=layout)
     Fout = kernel.shape[-1]
     tables = _as_device(tables, st)
 
@@ -433,6 +441,101 @@ def stencil_graph_conv(st: FaceStencil, x, kernel, n_terms, kind, tables=None,
 
         y = face_to_nest(y.reshape(M, B * Fout)).reshape(M, B, Fout)
     return jnp.transpose(y, (1, 0, 2)).astype(x.dtype)
+
+
+def lap_chain_available(st: FaceStencil, kind, n_terms):
+    """Whether :func:`lap_chain_conv` runs here: a pallas backend, a
+    Chebyshev/monomial recurrence, and a SHALLOW stencil (n_steps == the
+    template radius) that fits the fused kernel's structural gates for a
+    single application."""
+    from .pallas_stencil import fused_available
+
+    if st is None or kind not in ("cheby", "mono") or n_terms < 2:
+        return False
+    r = getattr(st, "radius", 1) or 1
+    if st.n_steps != r:
+        return False
+    return fused_available(st, "mono", 2)
+
+
+def lap_chain_conv(st: FaceStencil, x, kernel, n_terms, kind, tables=None,
+                   layout="nest"):
+    """Deep-radius polynomial conv as a CHAIN of single-lap fused kernels.
+
+    The one-shot fused kernel is the wrong trade at radius >= 3: its deep
+    window (h = r*(K-1), rounded to the sublane tile) forces (2r+1)^2 tap
+    planes plus per-lap roll temporaries to stay live across the K-1
+    unrolled laps, shrinking the band until the fused form measures ~2.7x
+    slower than the per-step XLA stencil (PERFORMANCE.md round 4).  This
+    path instead runs ONE L~ application per fused launch — a SHALLOW
+    stencil with ``n_steps == radius`` (h = 3 or 4 instead of 16), a
+    monomial term-selector channel kernel (y = 0*x + I*(L x) == L x), the
+    existing halo strips / window assembly / corner-ball corrections and
+    custom VJP all reused per application — while the Chebyshev/monomial
+    recurrence and the channel contraction run at the XLA level between
+    launches.  Reference semantics: the per-step recursion of
+    ``gnn_layers.py:137-150`` (same math, TPU-shaped execution).
+
+    Same contract as :func:`stencil_graph_conv` (x: (B, M, Fin) ->
+    (B, M, Fout)); requires :func:`lap_chain_available`.
+    """
+    from .pallas_stencil import fused_stencil_conv_cfp
+    from .spmv import chebyshev_terms, monomial_terms
+
+    B, M, Fin = x.shape
+    n, h = st.nside, st.n_steps
+    if M != 12 * n * n:
+        raise ValueError(
+            f"stencil conv needs the full sphere ({12*n*n} pixels), got {M}")
+    Fout = kernel.shape[-1]
+    tables = _as_device(tables, st)
+    interpret = config.pallas_mode() == "interpret"
+
+    if layout == "nest":
+        from .layout import nest_to_face
+
+        x2d = jnp.transpose(x, (1, 0, 2)).reshape(M, B * Fin)
+        x2d = nest_to_face(x2d)
+        xb = jnp.transpose(x2d.reshape(M, B, Fin), (1, 0, 2))
+    elif layout == "face":
+        xb = x
+    else:
+        raise ValueError(f"unknown layout: {layout}")
+
+    # (B, M, Fin) -> (B*Fin, 12, n, P_l) once for the whole chain
+    xc = cface_embed(xb, n, h).reshape(B * Fin, 12, n, -1)
+
+    # term-selector kernel: monomial n_terms=2 with rows (Fin-major,
+    # term-minor) [0; I] computes y[fo] = sum_fi I[fi,fo] * (L x)[fi]
+    sel = jnp.stack(
+        [jnp.zeros((Fin, Fin), jnp.float32), jnp.eye(Fin, dtype=jnp.float32)],
+        axis=1,
+    ).reshape(Fin * 2, Fin)
+
+    def matvec(t):
+        return fused_stencil_conv_cfp(st, tables, t, sel, 2, "mono", B,
+                                      interpret=interpret)
+
+    terms = (chebyshev_terms if kind == "cheby" else monomial_terms)(
+        matvec, xc, n_terms)
+    wk = kernel.reshape(Fin, n_terms, Fout)
+    y = None
+    for k, t in enumerate(terms):
+        ti = t[:, :, :, h : h + n].reshape(B, Fin, M)
+        yk = jnp.einsum(
+            "bfm,fo->bmo", ti, wk[:, k, :],
+            preferred_element_type=jnp.float32, precision=config.precision(),
+        )
+        y = yk if y is None else y + yk
+
+    if layout == "nest":
+        from .layout import face_to_nest
+
+        y = face_to_nest(
+            jnp.transpose(y, (1, 0, 2)).reshape(M, B * Fout)
+        ).reshape(M, B, Fout)
+        y = jnp.transpose(y, (1, 0, 2))
+    return y.astype(x.dtype)
 
 
 def stencil_graph_conv_cface(st: FaceStencil, x5, kernel, n_terms, kind,

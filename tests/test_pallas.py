@@ -301,3 +301,57 @@ def test_bf16_io_mode_close_to_f32(rng):
         b = np.asarray(b, np.float32)
         tol = 3e-2 * max(np.abs(a).max(), 1e-3)
         np.testing.assert_allclose(b, a, atol=tol)
+
+
+def test_lap_chain_deep_radius_matches_gather(rng):
+    """k=40 (radius-3) deep-k conv via the LAP CHAIN — single-lap fused
+    kernels chained at the XLA level on the SHALLOW (n_steps == radius)
+    stencil — against the ELLPACK gather path.  The deep one-shot fused
+    form is performance-gated off at radius >= 3 (PERFORMANCE.md round 4:
+    30.92 ms one-shot vs 11.43 ms XLA at k=40@128); the single-lap form
+    measured fast on-chip (2.72 ms @ nside=64, probe_r3_constructs)."""
+    from deepsphere_tpu.ops.stencil import lap_chain_available
+
+    K, B, Fin, Fout = 4, 2, 2, 3
+    g = build_sphere_graph(16, k=40, method="grid")
+    st = g.face_stencil(0.75)
+    assert st is not None and st.radius == 3 and st.n_steps == 3
+    assert lap_chain_available(st, "cheby", K)
+    tables = {k: jnp.asarray(v) for k, v in stencil_tables(st).items()}
+    x = jnp.asarray(rng.normal(size=(B, g.n_pixels, Fin)), jnp.float32)
+    kern = jnp.asarray(
+        rng.normal(scale=0.1, size=(Fin * K, Fout)), jnp.float32)
+
+    y_ref = _ref_conv(g, "cheby", x, kern, K, 0.75)
+    y = stencil_graph_conv(st, x, kern, K, "cheby", tables=tables)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-4)
+
+
+@pytest.mark.slow
+def test_lap_chain_gradients_match(rng):
+    """Gradients through the lap chain (each lap's custom VJP composes
+    with the XLA-level recurrence) vs autodiff of the gather path."""
+    from deepsphere_tpu.ops.stencil import lap_chain_available
+
+    K, B, Fin, Fout = 3, 2, 2, 2
+    g = build_sphere_graph(16, k=40, method="grid")
+    st = g.face_stencil(0.75)
+    assert lap_chain_available(st, "cheby", K)
+    tables = {k: jnp.asarray(v) for k, v in stencil_tables(st).items()}
+    x = jnp.asarray(rng.normal(size=(B, g.n_pixels, Fin)), jnp.float32)
+    kern = jnp.asarray(
+        rng.normal(scale=0.1, size=(Fin * K, Fout)), jnp.float32)
+
+    def loss_st(x, kern):
+        return jnp.sum(
+            stencil_graph_conv(st, x, kern, K, "cheby", tables=tables) ** 2)
+
+    def loss_ref(x, kern):
+        return jnp.sum(_ref_conv(g, "cheby", x, kern, K, 0.75) ** 2)
+
+    dx, dk = jax.grad(loss_st, argnums=(0, 1))(x, kern)
+    dx_r, dk_r = jax.grad(loss_ref, argnums=(0, 1))(x, kern)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_r),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_r),
+                               rtol=2e-3, atol=2e-3)
