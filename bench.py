@@ -92,6 +92,12 @@ STAGE_END = "BENCH-STAGE-END "
 # extra session-init penalty.  The first stage's cap absorbs the session
 # init of the happy path.
 STAGES = [
+    # init: absorbs the remote-compile session-init stall (measured 300 s
+    # nominal, 900-1500 s on bad days — round-5 rehearsal 4 lost the
+    # ENTIRE budget to it inside the core stage) in a stage that has no
+    # measurements to lose, and pre-loads the headline graph so core's
+    # clock covers real work only
+    ("init", "1", 420.0),
     ("core", "1", 650.0),
     ("model", "1", 560.0),
     ("k20", "1", 330.0),
@@ -208,6 +214,27 @@ def _headline_setup(jax, jnp, cache):
         axis=4,
     )
     return graph, st, st_tables, kernel, x, x5, build_s
+
+
+def stage_init(extra):
+    """Pay the per-process remote-compile session init on a TRIVIAL jit
+    (any first jit in a process triggers it; it has nothing to do with
+    program size), then warm the host page cache for the headline graph.
+    Banks timings only — a timeout here loses no measurements, and the
+    respawned child gets a second chance at a healthy worker."""
+    jax = _jax()
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    np.asarray(jax.jit(lambda a, b: a + b)(jnp.float32(1), jnp.float32(2)))
+    extra["init_first_jit_s"] = round(time.time() - t0, 1)
+    _bank(extra)
+    from deepsphere_tpu.graph import build_sphere_graph
+
+    t0 = time.time()
+    build_sphere_graph(NSIDE, k=8, method="grid", cache_dir=_cache_dir())
+    extra["init_graph_s"] = round(time.time() - t0, 1)
+    _bank(extra)
 
 
 def stage_core(extra):
@@ -446,8 +473,22 @@ def stage_model(extra):
         updates, new_opt = tx.update(grads, opt, params)
         return optax.apply_updates(params, updates), new_stats, new_opt, loss
 
-    params, stats, opt, loss = step(tables, params, stats, opt, x, y)
-    readback(loss)
+    # the train executable is the largest this bench compiles (4 fused
+    # convs with custom-VJP backward kernels in one module) and the
+    # remote-compile tunnel occasionally drops it mid-transfer
+    # ("response body closed before all bytes were read") — transient;
+    # one retry recovers it (PERFORMANCE.md measurement gotchas)
+    for attempt in (0, 1):
+        try:
+            params, stats, opt, loss = step(tables, params, stats, opt, x, y)
+            readback(loss)
+            break
+        except Exception:
+            if attempt:
+                raise
+            extra["qs_train_compile_retried"] = 1
+            _bank(extra)
+            time.sleep(20)
     t0 = time.time()
     for _ in range(n_it):
         params, stats, opt, loss = step(tables, params, stats, opt, x, y)
@@ -742,6 +783,7 @@ def stage_bf16_io(extra):
 
 
 STAGE_FNS = {
+    "init": stage_init,
     "core": stage_core,
     "model": stage_model,
     "gather": stage_gather,
@@ -972,21 +1014,35 @@ def parent_main():
             pending = [(n, c) for n, c in pending if n not in done_or_dead]
             if (died_in == "core" and "step_ms" not in extra
                     and not core_retry_done):
-                # headline never banked (fused kernel may have poisoned the
-                # child's runtime before the in-child fallback could run):
-                # retry ONCE in a fresh child with the Pallas path disabled
+                # headline never banked.  Disable the Pallas path in the
+                # retry ONLY when the fused kernel itself failed
+                # (fused_error marker / crash signature); a stage that
+                # merely timed out — a session-init stall or a slow
+                # compile (rehearsal 4 lost the whole budget to one) —
+                # retries the NORMAL path, which the warm server cache
+                # now makes fast
                 core_retry_done = True
                 remaining = BUDGET_S - (time.time() - _T0)
                 if remaining > MIN_STAGE_S:
                     if crashed and RECOVER_S > 0:
                         time.sleep(min(RECOVER_S, remaining / 4))
-                    print("[bench] core retry with DS_USE_PALLAS=off",
+                    # note: the watchdog reports timeouts as crashed=True
+                    # (rc != 0 after proc.kill) — classify by the banked
+                    # error text instead
+                    timed_out = "timeout" in extra.get("core_error", "")
+                    fused_broke = ("fused_error" in extra
+                                   or (crashed and not timed_out))
+                    env_extra = {"DS_USE_PALLAS": "off"} if fused_broke \
+                        else None
+                    print(f"[bench] core retry "
+                          f"(fused_broke={fused_broke})",
                           file=sys.stderr, flush=True)
                     _run_stages_child(
-                        [("core", 800.0)], extra,
-                        env_extra={"DS_USE_PALLAS": "off"},
+                        [("core", 800.0)], extra, env_extra=env_extra,
                     )
-                    extra.setdefault("fallback", "xla_stencil (fresh child)")
+                    if fused_broke:
+                        extra.setdefault("fallback",
+                                         "xla_stencil (fresh child)")
                     print(json.dumps(_result(dict(extra))), flush=True)
             elif crashed and pending and RECOVER_S > 0:
                 # chip-fault signature: give the TPU worker time to restart
