@@ -1420,7 +1420,20 @@ def fused_stencil_conv_cfp(st: FaceStencil, tables, xc, kernel, n_terms,
             has_corr = False
         wext = _io_weights(st, tables, iodt)
 
-        if config.fused_dw:
+        # The fused dx+dW kernel doubles the per-term MXU dot count of the
+        # forward (dx AND dW dots per batch, K-unrolled) and keeps the
+        # masked-x operand live across the whole unrolled stream; at
+        # dot-mode channel counts (B*Fin*Fout*K > contract_dot_min_unroll,
+        # e.g. the quick_start widths: 16*5*5*10 = 4000) Mosaic spills and
+        # the compile hard-faults the TPU worker (round-5 finding: the
+        # quick-start TRAIN step crashed the worker in every bench
+        # rehearsal while its forward compiled fine).  Route dot-mode
+        # backwards through the two-kernel path: dx is literally the
+        # forward program on dy (known-compiling), dW is the standalone
+        # kernel whose dot form compiles after its band shrink.
+        contract_bwd, _ = _resolve_contract_dtype(
+            B * Fin * Fout * n_terms, iodt)
+        if config.fused_dw and contract_bwd != "dot":
             # one band pass over dy computes BOTH dx and the face-exact
             # part of dW (adjoint trick — see _dxdw_kernel); corner rows
             # are handled outside: dx via the exact ball patch, dW by
