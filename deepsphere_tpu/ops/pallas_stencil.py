@@ -1267,32 +1267,48 @@ def _patch_corrections(st, y, y_fix):
     return y
 
 
-def _dw_mask_graph(st, dtype):
+def _dw_mask_graph(st, dtype, tables=None):
     """(12, n, P_l) selector for the fused dx+dW kernel's x stream: 1 on
     interior lanes, 0 on halo/pad lanes AND on the corrupt corner rows.
-    Built in-graph per backward call (one 56 MB broadcast + O(corners)
-    static patches at nside=1024, ~0.1 ms) — applying it INSIDE the kernel
-    replaced the ``_zero_corrections`` pass on the full x array, whose
-    first ``.at[].set`` on a jit input forced a whole-map copy."""
+    Built in-graph per backward call (one 56 MB broadcast at nside=1024,
+    ~0.1 ms) — applying it INSIDE the kernel replaced the
+    ``_zero_corrections`` pass on the full x array, whose first
+    ``.at[].set`` on a jit input forced a whole-map copy.  The corrupt
+    rows come from the host-precomputed ``tables['corr_mask']`` plane
+    when available (ONE multiply; the per-corner DUS-chain fallback
+    contributed to the XLA compile-complexity cliff — see
+    ``_zero_corrections``)."""
     n, h = st.nside, st.n_steps
     _, P = cfp_geometry(n, h)
     lane = jnp.arange(P)
     row = ((lane >= h) & (lane < h + n)).astype(dtype)
     m = jnp.broadcast_to(row[None, None, :], (12, n, P))
-    if int(np.asarray(st.corr_src).shape[0]):
-        for face, x0, y0, sel in _corr_patches(st):
-            selj = jnp.asarray(sel)
-            rx, ry = sel.shape
-            l0 = y0 + h
-            patch = m[face, x0 : x0 + rx, l0 : l0 + ry]
-            patch = jnp.where(selj >= 0, jnp.zeros_like(patch), patch)
-            m = m.at[face, x0 : x0 + rx, l0 : l0 + ry].set(patch)
+    if not int(np.asarray(st.corr_src).shape[0]):
+        return m
+    cm = tables.get("corr_mask") if tables is not None else None
+    if cm is not None:
+        return m * cm.astype(dtype)
+    for face, x0, y0, sel in _corr_patches(st):
+        selj = jnp.asarray(sel)
+        rx, ry = sel.shape
+        l0 = y0 + h
+        patch = m[face, x0 : x0 + rx, l0 : l0 + ry]
+        patch = jnp.where(selj >= 0, jnp.zeros_like(patch), patch)
+        m = m.at[face, x0 : x0 + rx, l0 : l0 + ry].set(patch)
     return m
 
 
-def _zero_corrections(st, dy):
-    """Zero the corrupt rows of dy (Cout, 12, n, P_l) via the same static
-    corner patches (scatter-free)."""
+def _zero_corrections(st, dy, tables=None):
+    """Zero the corrupt rows of dy (Cout, 12, n, P_l).
+
+    With ``tables['corr_mask']`` (host-precomputed (12, n, P_l) plane):
+    ONE broadcast multiply.  The per-corner DUS-chain fallback remains for
+    hand-built table dicts, but the mask is strongly preferred — the DUS
+    chain contributed to an XLA compile-complexity cliff that hard-faults
+    the TPU worker in big backward programs (round-5 bisection)."""
+    cm = tables.get("corr_mask") if tables is not None else None
+    if cm is not None:
+        return dy * cm.astype(dy.dtype)
     h = st.n_steps
     for face, x0, y0, sel in _corr_patches(st):
         selj = jnp.asarray(sel)
@@ -1447,7 +1463,7 @@ def fused_stencil_conv_cfp(st: FaceStencil, tables, xc, kernel, n_terms,
             dy_strips = build_strips(st, dyf, interpret)
             # interior + corrupt-row selection happens IN the kernel via
             # the mask plane (see _dw_mask_graph)
-            mask = _dw_mask_graph(st, iodt)
+            mask = _dw_mask_graph(st, iodt, tables)
             dx, dwk2 = _run_dxdw_kernel(
                 st, kind, n_terms, dyf, wext, dy_strips, wk3t, xcf, mask,
                 B, interpret,
@@ -1472,7 +1488,8 @@ def fused_stencil_conv_cfp(st: FaceStencil, tables, xc, kernel, n_terms,
             dx = _forward_cfp(st, kind, n_terms, B, interpret, tables, dy,
                               kernel_t)
             dx = dx.astype(in_dtype)
-            dy_clean = _zero_corrections(st, dy) if has_corr else dy
+            dy_clean = (_zero_corrections(st, dy, tables) if has_corr
+                        else dy)
             if strips is None:  # fused_dw toggled between fwd/bwd traces
                 strips = build_strips(st, xcf, interpret)
 

@@ -245,9 +245,26 @@ def stencil_tables(st: FaceStencil, bf16_io=False):
     to bf16 (key ``weights_bf16``) — build it ONCE here; the in-graph
     fallback re-reads the f32 planes every conv call."""
     extra = {}
-    if bf16_io:
-        import numpy as np
+    import numpy as np
 
+    if np.asarray(st.corr_src).shape[0]:
+        # corrupt-row mask plane (1 = keep, 0 = corner-corrupt row) in the
+        # conv's native (12, n, P_l) lane geometry, built on the HOST: the
+        # in-graph per-corner DUS chain it replaces (48+ dynamic-update-
+        # slices) pushed big backward programs over an XLA compile
+        # threshold that hard-faults the TPU worker (round-5 bisection,
+        # tools/probe_qs_train.py: each correction block compiles alone,
+        # all three together fault — a complexity cliff, not one bad op)
+        from .pallas_stencil import cfp_geometry
+
+        n, h = st.nside, st.n_steps
+        _, P_l = cfp_geometry(n, h)
+        cm = np.ones((12, n, P_l), np.float32)
+        ids = np.asarray(st.corr_out_face, dtype=np.int64)
+        f, x, y = ids // (n * n), (ids // n) % n, ids % n
+        cm[f, x, y + h] = 0.0
+        extra["corr_mask"] = cm
+    if bf16_io:
         from .pallas_stencil import _round_up, cfp_io_available, reextend_weights
 
         if cfp_io_available(st):

@@ -90,6 +90,41 @@ def child(name):
 
         z = dx(tables, xc, kt)
         np.asarray(z[0, 0, 0, 0])
+    elif name.startswith("corr"):
+        # the backward's corner-correction block in isolation (the
+        # vjp pieces pass with DS_SKIP_CORR=1 and fault without it).
+        # corr_bwd = everything the two-kernel backward adds; sub-pieces:
+        # corr_zero (just _zero_corrections), corr_basis (ball term stack
+        # + dW einsum), corr_dx (_corrected_rows + _patch_corrections)
+        dy = jax.block_until_ready(jax.random.normal(
+            jax.random.key(2), xc.shape, jnp.float32))
+        wk3t = jnp.transpose(
+            jnp.asarray(rng.normal(scale=0.1, size=(F, K, F)), jnp.float32),
+            (1, 0, 2))
+        sub = name.split("_", 1)[1]
+        flags = ({"zero", "basis", "dx"} if sub == "bwd"
+                 else set(sub.split("-")))
+
+        @jax.jit
+        def corr(tables, xc, dy):
+            outs = []
+            if "zero" in flags:
+                outs.append(ps._zero_corrections(st, dy, tables))
+            if "basis" in flags:
+                tdy = ps._basis_at_rows(st, tables, xc, K, "cheby")
+                x_rc = ps._gather_corrections(st, xc)
+                outs.append(jnp.einsum(
+                    "rbf,krbo->kfo", x_rc.reshape(-1, B, F),
+                    tdy.reshape(K, -1, B, F),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST))
+            if "dx" in flags:
+                fix = ps._corrected_rows(st, tables, dy, wk3t, K, "cheby", B)
+                outs.append(ps._patch_corrections(st, dy, fix))
+            return outs
+
+        z = corr(tables, xc, dy)
+        np.asarray(z[-1].reshape(-1)[0])
     elif name == "dw_only":
         wext = tables["weights"].astype(jnp.float32)
         dy = jax.block_until_ready(jax.random.normal(
