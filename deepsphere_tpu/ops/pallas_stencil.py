@@ -1134,18 +1134,44 @@ def _ball_spmv(idx, val, t):
     return y
 
 
-def _ball_terms(st, tables, xc, n_terms, kind):
+def _simple_corr(st, tables, unroll, iodt):
+    """Whether this conv's corrections should use the ONE-gather /
+    ONE-scatter flat forms instead of the per-corner patch chains.
+
+    The patch chains (48+ static-slice ops each) are the right trade for
+    the axpy-mode hot path (a flat gather/scatter makes XLA relayout or
+    copy the full map, ~2.8/15 ms at nside=1024), but at dot-mode channel
+    counts the accumulated program complexity crossed an XLA cliff that
+    hard-faults the TPU worker (round-5 bisection, probe_qs_train.py) —
+    and at the model scales where dot mode engages, full-map copies cost
+    tens of microseconds."""
+    contract, _ = _resolve_contract_dtype(unroll, iodt)
+    return contract == "dot" and tables.get("corr_rows_cfp") is not None
+
+
+def _gather_rows_flat(arr, rows):
+    """(C, 12, n, P_l) at flat cfp row indices ``rows`` -> (len(rows), C)
+    via a single gather."""
+    C = arr.shape[0]
+    return jnp.transpose(jnp.take(arr.reshape(C, -1), rows, axis=1))
+
+
+def _ball_terms(st, tables, xc, n_terms, kind, simple=False):
     """Exact per-term basis values over the correction ball.
 
     xc: (C, 12, n, P_l) native layout.  The ball is O(100) rows read via
     small per-corner patch slices — a full-map gather makes XLA relayout
-    the whole activation (~2.8 ms at nside=1024) just to serve it.
-    Yields (Bn, C) per term.
+    the whole activation (~2.8 ms at nside=1024) just to serve it —
+    unless ``simple`` (see :func:`_simple_corr`), which reads them with
+    one flat gather instead.  Yields (Bn, C) per term.
     """
     idx = tables["corr_idx"]
     val = tables["corr_val"]
     Bn = int(np.asarray(st.corr_src).shape[0])
-    t = _gather_rows(st, xc, _ball_patches(st), Bn)
+    if simple:
+        t = _gather_rows_flat(xc, tables["corr_src_cfp"])
+    else:
+        t = _gather_rows(st, xc, _ball_patches(st), Bn)
     t = t.astype(jnp.float32)  # (Bn, C)
     yield t
     prev2, prev1 = None, t
@@ -1157,7 +1183,7 @@ def _ball_terms(st, tables, xc, n_terms, kind):
         prev2, prev1 = prev1, tk
 
 
-def _corrected_rows(st, tables, xc, wk3, n_terms, kind, B):
+def _corrected_rows(st, tables, xc, wk3, n_terms, kind, B, simple=False):
     """Exact conv outputs at the corrupt rows via the precomputed ball.
 
     Returns (Rc, B*Fout).
@@ -1173,17 +1199,19 @@ def _corrected_rows(st, tables, xc, wk3, n_terms, kind, B):
         ).reshape(-1, B * Fout)
 
     acc = None
-    for k, tk in enumerate(_ball_terms(st, tables, xc, n_terms, kind)):
+    for k, tk in enumerate(_ball_terms(st, tables, xc, n_terms, kind,
+                                       simple=simple)):
         d = term_dot(tk[out_rows], k)
         acc = d if acc is None else acc + d
     return acc
 
 
-def _basis_at_rows(st, tables, xc, n_terms, kind):
+def _basis_at_rows(st, tables, xc, n_terms, kind, simple=False):
     """Exact per-term basis values at the corrupt rows: (K, Rc, C)."""
     out_rows = tables["corr_out_ball"]
     return jnp.stack(
-        [tk[out_rows] for tk in _ball_terms(st, tables, xc, n_terms, kind)],
+        [tk[out_rows] for tk in _ball_terms(st, tables, xc, n_terms, kind,
+                                            simple=simple)],
         axis=0,
     )
 
@@ -1249,9 +1277,17 @@ def _gather_rows(st, arr, patches, count):
     return out
 
 
-def _patch_corrections(st, y, y_fix):
+def _patch_corrections(st, y, y_fix, rows=None):
     """Overwrite the corrupt rows of y (Cout, 12, n, P_l) with the exact
-    values ``y_fix`` (Rc, Cout), via per-corner static-slice updates."""
+    values ``y_fix`` (Rc, Cout), via per-corner static-slice updates —
+    or, when ``rows`` (flat cfp indices, ``tables['corr_rows_cfp']``) is
+    given, via ONE scatter (see :func:`_simple_corr`)."""
+    if rows is not None:
+        C = y.shape[0]
+        shp = y.shape
+        yf = y.reshape(C, -1).at[:, rows].set(
+            jnp.transpose(y_fix).astype(y.dtype))
+        return yf.reshape(shp)
     h = st.n_steps
     yt = jnp.transpose(y_fix)  # (Cout, Rc)
     for face, x0, y0, sel in _corr_patches(st):
@@ -1320,9 +1356,11 @@ def _zero_corrections(st, dy, tables=None):
     return dy
 
 
-def _gather_corrections(st, dy):
-    """dy values at the corrupt rows, (Rc, Cout) — small patch reads, no
-    full-map gather."""
+def _gather_corrections(st, dy, tables=None, simple=False):
+    """dy values at the corrupt rows, (Rc, Cout) — small patch reads (no
+    full-map gather), or one flat gather under ``simple``."""
+    if simple:
+        return _gather_rows_flat(dy, tables["corr_rows_cfp"])
     Rc = int(np.asarray(st.corr_out_face).shape[0])
     return _gather_rows(st, dy, _corr_patches(st), Rc)
 
@@ -1364,8 +1402,12 @@ def _forward_cfp(st, kind, n_terms, B, interpret, tables, xc, kernel,
     y = _run_stencil_kernel(st, kind, n_terms, xc, wext, strips, wk3, B,
                             interpret)
     if tables["corr_src"].shape[0]:
-        y_fix = _corrected_rows(st, tables, xc, wk3, n_terms, kind, B)
-        y = _patch_corrections(st, y, y_fix)
+        simple = _simple_corr(st, tables, B * Fin * Fout * n_terms, iodt)
+        y_fix = _corrected_rows(st, tables, xc, wk3, n_terms, kind, B,
+                                simple=simple)
+        y = _patch_corrections(
+            st, y, y_fix,
+            rows=tables["corr_rows_cfp"] if simple else None)
     return y
 
 
@@ -1449,6 +1491,8 @@ def fused_stencil_conv_cfp(st: FaceStencil, tables, xc, kernel, n_terms,
         # kernel whose dot form compiles after its band shrink.
         contract_bwd, _ = _resolve_contract_dtype(
             B * Fin * Fout * n_terms, iodt)
+        simple = _simple_corr(st, tables, B * Fin * Fout * n_terms, iodt)
+        corr_rows = tables["corr_rows_cfp"] if simple else None
         if config.fused_dw and contract_bwd != "dot":
             # one band pass over dy computes BOTH dx and the face-exact
             # part of dW (adjoint trick — see _dxdw_kernel); corner rows
@@ -1470,13 +1514,14 @@ def fused_stencil_conv_cfp(st: FaceStencil, tables, xc, kernel, n_terms,
             )
             if has_corr:
                 dx_fix = _corrected_rows(st, tables, dyf, wk3t, n_terms,
-                                         kind, B)
-                dx = _patch_corrections(st, dx, dx_fix)
+                                         kind, B, simple=simple)
+                dx = _patch_corrections(st, dx, dx_fix, rows=corr_rows)
             dx = dx.astype(in_dtype)
             dwk = dwk2.reshape(n_terms, Fin, Fout)
             if has_corr:
-                tdy = _basis_at_rows(st, tables, dyf, n_terms, kind)
-                x_rc = _gather_corrections(st, xcf)
+                tdy = _basis_at_rows(st, tables, dyf, n_terms, kind,
+                                     simple=simple)
+                x_rc = _gather_corrections(st, xcf, tables, simple=simple)
                 dwk = dwk + jnp.einsum(
                     "rbf,krbo->kfo",
                     x_rc.reshape(-1, B, Fin),
@@ -1500,8 +1545,9 @@ def fused_stencil_conv_cfp(st: FaceStencil, tables, xc, kernel, n_terms,
                 interpret,
             ).reshape(n_terms, Fin, Fout)
             if has_corr:
-                basis = _basis_at_rows(st, tables, xcf, n_terms, kind)
-                dy_rc = _gather_corrections(st, dy)
+                basis = _basis_at_rows(st, tables, xcf, n_terms, kind,
+                                       simple=simple)
+                dy_rc = _gather_corrections(st, dy, tables, simple=simple)
                 dwk = dwk + jnp.einsum(
                     "krbf,rbo->kfo",
                     basis.reshape(n_terms, -1, B, Fin),

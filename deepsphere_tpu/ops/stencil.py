@@ -264,6 +264,18 @@ def stencil_tables(st: FaceStencil, bf16_io=False):
         f, x, y = ids // (n * n), (ids // n) % n, ids % n
         cm[f, x, y + h] = 0.0
         extra["corr_mask"] = cm
+
+        # flat row indices in the (12*n*P_l) lane geometry, for the
+        # ONE-gather / ONE-scatter correction forms the dot-mode backward
+        # uses in place of the per-corner patch chains (same XLA
+        # complexity cliff)
+        def cfp_rows(a):
+            a = np.asarray(a, dtype=np.int64)
+            fa, xa, ya = a // (n * n), (a // n) % n, a % n
+            return ((fa * n + xa) * P_l + ya + h).astype(np.int32)
+
+        extra["corr_src_cfp"] = cfp_rows(st.corr_src)
+        extra["corr_rows_cfp"] = cfp_rows(st.corr_out_face)
     if bf16_io:
         from .pallas_stencil import _round_up, cfp_io_available, reextend_weights
 
