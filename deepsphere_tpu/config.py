@@ -69,6 +69,23 @@ def resolve_contract(unroll: int) -> str:
     return "axpy" if unroll <= contract_dot_min_unroll else "dot"
 
 
+# Minimum nside for the FUSED kernel when the contraction resolves to
+# "dot" (large channel counts) in COMPILED mode.  Below this the per-step
+# XLA stencil path is sub-millisecond anyway, while every extra fused
+# conv adds ~5 Mosaic kernels (fwd + dx + dW + 2 strip builders) to a
+# training executable — multi-layer dot-mode train programs crossed an
+# XLA compile-complexity cliff that hard-faults the TPU worker (round-5
+# bisection, tools/probe_qs_train.py: a single-conv VJP compiles, the
+# 3-conv quick_start train step faults even with the flat correction
+# forms).  Interpret mode is unaffected (full coverage for tests).
+dot_fused_min_nside: int = 64
+
+
+def set_dot_fused_min_nside(n: int):
+    global dot_fused_min_nside
+    dot_fused_min_nside = int(n)
+
+
 # Fused-kernel band compute dtype.  "float32" (default) runs the whole
 # recursion in f32 — bit-compatible with the XLA stencil path and the
 # <1e-5 TF2-parity target.  "bfloat16" (stage A) casts the assembled band

@@ -99,8 +99,15 @@ def cfp_structural_available(st: FaceStencil, kind, n_terms):
     return True
 
 
-def fused_available(st: FaceStencil, kind, n_terms):
+def fused_available(st: FaceStencil, kind, n_terms, unroll=None):
     """Whether the fused kernel runs here (structure + a pallas backend).
+
+    ``unroll`` (B*Fin*Fout*n_terms, when the caller knows it): dot-mode
+    configs additionally require ``nside >= config.dot_fused_min_nside``
+    in compiled mode — small fused convs at large channel counts add
+    Mosaic-kernel program mass to training executables for no measurable
+    win, and multi-layer dot-mode train programs crossed an XLA
+    compile-complexity cliff that hard-faults the worker (round 5).
 
     Verified-envelope gate (rounds 3-4): on real TPU hardware, halo depths
     h > 8 that are NOT sublane-aligned hard-fault the worker at a Mosaic
@@ -125,6 +132,10 @@ def fused_available(st: FaceStencil, kind, n_terms):
     if not cfp_structural_available(st, kind, n_terms):
         return False
     if mode == "compile" and st.n_steps > 8 and st.n_steps % 8:
+        return False
+    if (mode == "compile" and unroll is not None
+            and config.resolve_contract(unroll) == "dot"
+            and st.nside < config.dot_fused_min_nside):
         return False
     if (mode == "compile" and (getattr(st, "radius", 1) or 1) >= 3
             and n_terms > 2 and not os.environ.get("DS_ALLOW_FUSED_R3")):

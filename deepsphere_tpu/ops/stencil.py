@@ -444,7 +444,8 @@ def stencil_graph_conv(st: FaceStencil, x, kernel, n_terms, kind, tables=None,
     if fused != "never" and mode is not None:
         from .pallas_stencil import fused_available
 
-        use_fused = fused_available(st, kind, n_terms)
+        use_fused = fused_available(st, kind, n_terms,
+                                    unroll=B * Fin * Fout * n_terms)
 
     if use_fused:
         from .pallas_stencil import fused_stencil_conv
@@ -596,7 +597,7 @@ def stencil_graph_conv_cface(st: FaceStencil, x5, kernel, n_terms, kind,
     tables = _as_device(tables, st)
     mode = config.pallas_mode()
 
-    if fused_available(st, kind, n_terms):
+    if fused_available(st, kind, n_terms, unroll=B * Fin * Fout * n_terms):
         from .pallas_stencil import fused_stencil_conv_cfp
 
         y = fused_stencil_conv_cfp(
