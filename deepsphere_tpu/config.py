@@ -71,14 +71,19 @@ def resolve_contract(unroll: int) -> str:
 
 # Minimum nside for the FUSED kernel when the contraction resolves to
 # "dot" (large channel counts) in COMPILED mode.  Below this the per-step
-# XLA stencil path is sub-millisecond anyway, while every extra fused
-# conv adds ~5 Mosaic kernels (fwd + dx + dW + 2 strip builders) to a
-# training executable — multi-layer dot-mode train programs crossed an
-# XLA compile-complexity cliff that hard-faults the TPU worker (round-5
-# bisection, tools/probe_qs_train.py: a single-conv VJP compiles, the
-# 3-conv quick_start train step faults even with the flat correction
-# forms).  Interpret mode is unaffected (full coverage for tests).
-dot_fused_min_nside: int = 64
+# XLA stencil path is fast at these sizes anyway, while every fused conv
+# adds ~5 Mosaic kernels (fwd + dx + dW + 2 strip builders) to a
+# training executable — and dot-mode MODEL train programs crossed an XLA
+# compile-complexity cliff that hard-faults the TPU worker (round-5
+# bisection, tools/probe_qs_train.py): a single-conv dot-mode VJP
+# compiles and runs (515 s), but the quick_start train step faults even
+# with ONE fused conv left in the program, while the all-XLA variant is
+# round-3-proven on chip.  128 keeps quick_start-class models (nside <=
+# 64 at large channel counts) entirely on the proven path; large-nside
+# dot-mode convs — where the fused kernel's payoff is real — still run
+# fused, one conv per program being the validated envelope.  Interpret
+# mode is unaffected (full test coverage).
+dot_fused_min_nside: int = 128
 
 
 def set_dot_fused_min_nside(n: int):
