@@ -1376,6 +1376,65 @@ def _gather_corrections(st, dy, tables=None, simple=False):
     return _gather_rows(st, dy, _corr_patches(st), Rc)
 
 
+def _xla_bwd(st, tables, dy, xcf, kernel_t, n_terms, kind, B, Fin, Fout):
+    """Backward pass of the fused conv on the per-step XLA stencil path.
+
+    dx is the adjoint conv of dy (L~ is symmetric, so the same patched
+    operator with the transposed channel kernel — the round-3-verified
+    per-step path); dW contracts the per-step basis terms of x against
+    dy.  Used for deep-halo (h > 8) compiled backwards, where the Pallas
+    backward kernels hard-fault the TPU worker (round-5 isolation); the
+    fused forward stays on the chip-validated Pallas kernel.
+
+    dy/xcf: (B*Fout / B*Fin, 12, n, P_l) cfp layout.  Returns
+    (dx (B*Fin, 12, n, P_l) f32, dwk (K, Fin, Fout) f32).
+    """
+    from .stencil import stencil_graph_conv, stencil_matvec
+    from .stencil import _term_stream as _xla_terms
+
+    n, h = st.nside, st.n_steps
+    M = 12 * n * n
+    P_l = dy.shape[3]
+    dyi = dy[:, :, :, h : h + n].astype(jnp.float32)
+    dy_bmf = jnp.transpose(
+        dyi.reshape(B, Fout, M), (0, 2, 1))  # (B, M, Fout)
+    dx_bmf = stencil_graph_conv(
+        st, dy_bmf, kernel_t.astype(jnp.float32), n_terms, kind,
+        tables=tables, layout="face", fused="never",
+    )  # (B, M, Fin)
+    dxi = jnp.transpose(dx_bmf, (0, 2, 1)).reshape(B * Fin, 12, n, n)
+    dx = jnp.concatenate(
+        [
+            jnp.zeros((B * Fin, 12, n, h), dxi.dtype),
+            dxi,
+            jnp.zeros((B * Fin, 12, n, P_l - n - h), dxi.dtype),
+        ],
+        axis=3,
+    )
+
+    xfi = jnp.transpose(
+        xcf[:, :, :, h : h + n].astype(jnp.float32).reshape(
+            B, Fin, 12, n, n),
+        (2, 3, 4, 0, 1),
+    ).reshape(12, n, n, B * Fin)
+    matvec = lambda t: stencil_matvec(st, tables, t)
+    dy_mbo = jnp.transpose(dy_bmf, (1, 0, 2))  # (M, B, Fout)
+    dwk = jnp.stack(
+        [
+            jnp.einsum(
+                "mbf,mbo->fo",
+                t.reshape(M, B, Fin),
+                dy_mbo,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            for t in _xla_terms(kind, matvec, xfi, n_terms)
+        ],
+        axis=0,
+    )  # (K, Fin, Fout)
+    return dx, dwk
+
+
 # ---------------------------------------------------------------------------
 # top level with custom VJP
 # ---------------------------------------------------------------------------
@@ -1504,7 +1563,18 @@ def fused_stencil_conv_cfp(st: FaceStencil, tables, xc, kernel, n_terms,
             B * Fin * Fout * n_terms, iodt)
         simple = _simple_corr(st, tables, B * Fin * Fout * n_terms, iodt)
         corr_rows = tables["corr_rows_cfp"] if simple else None
-        if config.fused_dw and contract_bwd != "dot":
+        if not interpret and st.n_steps > 8:
+            # deep-halo (h > 8, i.e. K >= 9 radius-1) COMPILED backwards
+            # run the per-step XLA path: the fused FORWARD at padded
+            # h=16 is chip-validated (round 4, stage 8), but its fused
+            # backward hard-faults the worker at the quick_start train
+            # shape (round-5 isolation: the model stage trains clean
+            # all-XLA at 107 maps/s, faults the moment this conv's
+            # pallas backward joins the program).
+            dx, dwk = _xla_bwd(st, tables, dy, xcf, kernel_t, n_terms,
+                               kind, B, Fin, Fout)
+            dx = dx.astype(in_dtype)
+        elif config.fused_dw and contract_bwd != "dot":
             # one band pass over dy computes BOTH dx and the face-exact
             # part of dW (adjoint trick — see _dxdw_kernel); corner rows
             # are handled outside: dx via the exact ball patch, dW by

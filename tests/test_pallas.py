@@ -355,3 +355,49 @@ def test_lap_chain_gradients_match(rng):
                                rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_r),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_xla_bwd_matches_pallas_backward(rng):
+    """The deep-halo (h > 8) compiled backward runs on the per-step XLA
+    path (_xla_bwd) while the forward stays fused — the Pallas backward
+    kernels hard-fault the worker at quick_start train shapes (round-5
+    isolation).  Pin _xla_bwd's dx/dW against autodiff through the
+    interpret-mode fused path (which keeps the Pallas backward)."""
+    import deepsphere_tpu.ops.pallas_stencil as ps
+    from deepsphere_tpu.ops.stencil import cface_embed
+
+    K, B, Fin, Fout = 10, 2, 2, 3
+    g = build_sphere_graph(32, k=8, method="grid")
+    st = g.deep_stencil(0.75, K)
+    assert st.n_steps == 16
+    tables = {k: jnp.asarray(v) for k, v in stencil_tables(st).items()}
+    n, h = st.nside, st.n_steps
+    x = jnp.asarray(rng.normal(size=(B, g.n_pixels, Fin)), jnp.float32)
+    kern = jnp.asarray(
+        rng.normal(scale=0.1, size=(Fin * K, Fout)), jnp.float32)
+    xc = cface_embed(x, n, h).reshape(B * Fin, 12, n, -1)
+
+    def loss(xc, kern):
+        y = ps.fused_stencil_conv_cfp(st, tables, xc, kern, K, "cheby", B,
+                                      interpret=True)
+        return jnp.sum(y[:, :, :, h : h + n] ** 2)
+
+    (gx_ref, gk_ref) = jax.grad(loss, argnums=(0, 1))(xc, kern)
+
+    y = ps.fused_stencil_conv_cfp(st, tables, xc, kern, K, "cheby", B,
+                                  interpret=True)
+    dy = (2.0 * y).at[:, :, :, :h].set(0.0).at[:, :, :, h + n :].set(0.0)
+    kernel_t = (kern.reshape(Fin, K, Fout).transpose(2, 1, 0)
+                .reshape(Fout * K, Fin))
+    dx, dwk = ps._xla_bwd(st, tables, dy, xc, kernel_t, K, "cheby",
+                          B, Fin, Fout)
+    dkern = jnp.transpose(dwk, (1, 0, 2)).reshape(Fin * K, Fout)
+
+    # interior rows only: the pallas dx fills halo lanes with garbage-free
+    # zeros there too, but compare where it matters
+    np.testing.assert_allclose(
+        np.asarray(dx[:, :, :, h : h + n]),
+        np.asarray(gx_ref[:, :, :, h : h + n]), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(dkern), np.asarray(gk_ref), rtol=2e-3, atol=2e-2)
